@@ -1,0 +1,351 @@
+"""Pruned ("packed-corner") spectral transforms as MXU matmuls.
+
+This is the TPU-native core of the framework. The reference pipeline
+(IBM/multimodal-3d-image-segmentation) computes a full FFT, crops a small
+block of low/high frequency "corners", mixes channels there, zero-pads the
+corners back and runs a full inverse FFT (see reference
+``nets/hnosegxs.py:332-494`` TransformCrop/PadInverse and
+``nets/hartley_operator.py:109-271``). Because the kept mode counts are tiny
+(e.g. (10, 14, 14)) compared to the volume (e.g. 240x240x155), the
+crop-after-FFT wastes almost all FFT work, and the corner slicing/concat
+materializes 8 temporaries.
+
+On TPU we instead evaluate the *pruned* discrete transform directly: for each
+axis, contracting with a (n, 2m) cas/DFT matrix yields exactly the packed
+corner layout ``[0..m-1, n-m..n-1]`` the reference produces by crop+concat.
+Each axis is one dense matmul on the MXU; after the first axis the working
+set shrinks by ~n/2m, so the whole forward transform is a chain of
+tall-skinny matmuls that XLA fuses and tiles natively. The inverse transform
+(zero-pad + full inverse FFT in the reference) is the transposed chain: the
+zero blocks are never materialized.
+
+Conventions match the reference exactly (``nets/dht.py:29-36``):
+  * forward DHT uses 1/N normalization; inverse uses none. This makes
+    frequency magnitudes resolution-invariant — the keystone of zero-shot
+    super-resolution.
+  * DHT(x) = Re(FFT(x)) - Im(FFT(x)) (the cas transform).
+  * the real-FFT variant keeps only non-negative frequencies on the last
+    axis (reference ``nets/fourier_operator.py:69-72``).
+
+A full-grid FFT-based path (`dht_full`) is kept for cross-validation and for
+the rare configurations (frequency-domain bias) that touch the whole
+spectrum.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "clip_modes",
+    "normalize_modes",
+    "dht_full",
+    "dht_crop",
+    "dht_pad_inverse",
+    "rfft_crop",
+    "rfft_pad_inverse",
+    "packed_reverse",
+    "extended_reverse_perm",
+    "extended_to_packed",
+    "spatial_axes",
+]
+
+# Precision for the spectral matmuls. The DFT contraction sums O(n) terms of
+# O(1) magnitude with heavy cancellation, so bf16 MXU passes are not enough;
+# HIGHEST requests full fp32 accumulation on TPU.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def spatial_axes(ndim: int) -> Tuple[int, ...]:
+    """Spatial axes for channels-last layout (B, *spatial, C)."""
+    return tuple(range(1, ndim - 1))
+
+
+def normalize_modes(num_modes, n_spatial: int) -> Tuple[int, ...]:
+    """Broadcast a scalar mode count to all spatial dims (reference
+    ``nets/hartley_operator.py:63-69`` semantics)."""
+    if np.isscalar(num_modes):
+        return (int(num_modes),) * n_spatial
+    assert len(num_modes) == n_spatial
+    return tuple(int(m) for m in num_modes)
+
+
+def clip_modes(modes: Sequence[int], sizes: Sequence[int]) -> Tuple[int, ...]:
+    """Clip modes to half the spatial size (reference
+    ``nets/hartley_operator.py:172-178``). Runs at trace time."""
+    return tuple(min(int(m), int(s) // 2) for m, s in zip(modes, sizes))
+
+
+def _kept_freqs(n: int, m: int, extended: bool = False) -> np.ndarray:
+    """Kept frequencies in packed-corner order: [0..m-1] then [n-m..n-1].
+
+    ``extended`` additionally keeps frequency ``m`` (between the corners),
+    which makes true frequency reversal k -> (n - k) mod n a permutation of
+    the kept set (needed for exact Hartley-convolution parity, see
+    `extended_reverse_perm`).
+    """
+    if extended:
+        assert n >= 2 * m + 1
+        return np.concatenate([np.arange(m + 1), np.arange(n - m, n)])
+    assert n >= 2 * m
+    return np.concatenate([np.arange(m), np.arange(n - m, n)])
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats_np(n: int, m: int, forward: bool, extended: bool,
+                 sign: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) matrices for the pruned DFT along one axis.
+
+    forward: shape (n, K) with 1/n scaling (reference forward norm).
+    inverse: shape (K, n) with no scaling.
+    ``sign`` is the sign of the exponent angle (e^{sign * i * theta}).
+    The matrices are built in float64 for accuracy at large n.
+    """
+    ks = _kept_freqs(n, m, extended)
+    j = np.arange(n)
+    theta = 2.0 * np.pi * np.outer(j, ks) / n  # (n, K)
+    if forward:
+        c = np.cos(theta) / n
+        s = np.sin(sign * theta) / n
+    else:
+        c = np.cos(theta).T
+        s = np.sin(sign * theta).T
+    return c, s
+
+
+def _mats(n, m, forward, extended, sign, dtype):
+    c, s = _dft_mats_np(int(n), int(m), forward, extended, int(sign))
+    return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
+
+
+def _tdot(x, mat, axis):
+    """Contract ``axis`` of x with mat's first axis; keep axis position."""
+    y = jnp.tensordot(x, mat, axes=[[axis], [0]], precision=PRECISION)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def _complex_chain(re, im, axes_mats):
+    """Apply e^{i*sign*theta} contraction per axis to the complex pair.
+
+    ``axes_mats``: list of (axis, C, S, sign) where the per-axis complex
+    factor is (C + i * sign * S_abs); we fold sign into S so the factor is
+    always (C + iS). Multiplication: (re + i im)(C + iS) ->
+    re' = re@C - im@S ; im' = im@C + re@S.
+    """
+    for ax, c, s in axes_mats:
+        re_c = _tdot(re, c, ax)
+        re_s = _tdot(re, s, ax)
+        if im is None:
+            re, im = re_c, re_s
+        else:
+            im_c = _tdot(im, c, ax)
+            im_s = _tdot(im, s, ax)
+            re, im = re_c - im_s, im_c + re_s
+    return re, im
+
+
+def _axis_order(pairs, forward):
+    """Process axes so intermediates stay small: for the forward transform
+    contract the axis with the largest reduction first; for the inverse
+    expand the axis with the largest expansion last."""
+    return sorted(pairs, key=lambda t: t[1] / max(t[2], 1),
+                  reverse=forward)
+
+
+def dht_crop(x: jax.Array, modes: Sequence[int],
+             axes: Optional[Sequence[int]] = None,
+             extended: bool = False) -> jax.Array:
+    """Forward DHT (1/N norm) evaluated only at the packed corner modes.
+
+    Equivalent to the reference's ``dhtn`` followed by TransformCrop's
+    8-corner crop+concat (``nets/hnosegxs.py:378-410``), in one matmul chain.
+
+    Args:
+        x: real tensor, channels-last (B, *spatial, C) by default.
+        modes: kept modes per transformed axis (already clipped).
+        axes: axes to transform; default all but first/last.
+        extended: keep 2m+1 rows per axis (see `_kept_freqs`).
+
+    Returns:
+        Real packed spectrum with transformed axes of size 2m (or 2m+1).
+    """
+    if axes is None:
+        axes = spatial_axes(x.ndim)
+    dt = x.dtype
+    pairs = [(ax, x.shape[ax], 2 * m) for ax, m in zip(axes, modes)]
+    order = _axis_order(pairs, forward=True)
+    mats = []
+    mdict = dict(zip(axes, modes))
+    for ax, n, _ in order:
+        c, s = _mats(n, mdict[ax], True, extended, -1, dt)
+        mats.append((ax, c, s))
+    re, im = _complex_chain(x, None, mats)
+    return re - im
+
+
+def dht_pad_inverse(y: jax.Array, sizes: Sequence[int],
+                    axes: Optional[Sequence[int]] = None) -> jax.Array:
+    """Inverse DHT (no norm) from a packed corner spectrum to the full grid.
+
+    Equivalent to the reference's PadInverse (zero-pad corners to full size,
+    then inverse ``dhtn``, ``nets/hnosegxs.py:413-494``): the zero blocks are
+    never materialized. Modes are inferred as (packed size)//2, matching
+    ``nets/hnosegxs.py:459-462``.
+    """
+    if axes is None:
+        axes = spatial_axes(y.ndim)
+    dt = y.dtype
+    modes = {ax: y.shape[ax] // 2 for ax in axes}
+    for ax, n in zip(axes, sizes):
+        assert n >= 2 * modes[ax], (
+            f"target size {n} < 2*modes {2 * modes[ax]} on axis {ax}")
+    pairs = [(ax, 2 * modes[ax], n) for ax, n in zip(axes, sizes)]
+    order = _axis_order(pairs, forward=False)
+    mats = []
+    for ax, _, n in order:
+        c, s = _mats(n, modes[ax], False, False, -1, dt)
+        mats.append((ax, c, s))
+    re, im = _complex_chain(y, None, mats)
+    return re - im
+
+
+def rfft_crop(x: jax.Array, modes: Sequence[int],
+              axes: Optional[Sequence[int]] = None
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Forward real FFT (1/N norm) at the packed kept modes.
+
+    All axes but the last keep packed corners [0..m-1, n-m..n-1]; the last
+    transformed axis keeps only [0..m-1] (the rfft half spectrum), matching
+    the reference FourierOperator's mode layout
+    (``nets/fourier_operator.py:168-191``).
+
+    Returns the (real, imag) pair of the cropped spectrum.
+    """
+    if axes is None:
+        axes = spatial_axes(x.ndim)
+    dt = x.dtype
+    last = axes[-1]
+    pairs = []
+    for ax, m in zip(axes, modes):
+        n = x.shape[ax]
+        if ax == last:
+            ks = np.arange(m)
+            theta = 2.0 * np.pi * np.outer(np.arange(n), ks) / n
+            c = jnp.asarray(np.cos(theta) / n, dt)
+            s = jnp.asarray(np.sin(-theta) / n, dt)
+            pairs.append((ax, n, m, c, s))
+        else:
+            c, s = _mats(n, m, True, False, -1, dt)
+            pairs.append((ax, n, 2 * m, c, s))
+    order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=True)
+    mats = [(ax, c, s) for ax, _, _, c, s in order]
+    re, im = _complex_chain(x, None, mats)
+    return re, im
+
+
+def rfft_pad_inverse(re: jax.Array, im: jax.Array, sizes: Sequence[int],
+                     axes: Optional[Sequence[int]] = None) -> jax.Array:
+    """Inverse real FFT (norm='forward' -> unscaled) from packed modes.
+
+    Equivalent to zero-padding the kept modes into the rfftn half-spectrum
+    and calling irfftn (reference ``nets/fourier_operator.py:193-211``). The
+    non-last axes are inverted with e^{+i theta} chains; the last (Hermitian)
+    axis doubles the k>0 columns.
+    """
+    if axes is None:
+        axes = spatial_axes(re.ndim)
+    dt = re.dtype
+    last = axes[-1]
+    pairs = []
+    for ax, n in zip(axes, sizes):
+        if ax == last:
+            continue
+        m = re.shape[ax] // 2
+        assert n >= 2 * m
+        c, s = _mats(n, m, False, False, +1, dt)
+        pairs.append((ax, 2 * m, n, c, s))
+    order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=False)
+    mats = [(ax, c, s) for ax, _, _, c, s in order]
+    re, im = _complex_chain(re, im, mats)
+
+    # Hermitian last axis: x_j = sum_k w_k * Re(Z_k e^{+i theta}), w_0 = 1,
+    # w_{k>0} = 2 (conjugate-symmetric completion).
+    n = [sz for ax, sz in zip(axes, sizes) if ax == last][0]
+    m = re.shape[last]
+    assert n >= 2 * m
+    ks = np.arange(m)
+    w = np.where(ks == 0, 1.0, 2.0)
+    theta = 2.0 * np.pi * np.outer(ks, np.arange(n)) / n
+    a = jnp.asarray(w[:, None] * np.cos(theta), dt)
+    b = jnp.asarray(w[:, None] * np.sin(theta), dt)
+    return _tdot(re, a, last) - _tdot(im, b, last)
+
+
+def dht_full(x: jax.Array, axes: Optional[Sequence[int]] = None,
+             is_inverse: bool = False) -> jax.Array:
+    """Full-grid DHT via FFT: H(x) = Re(FFT(x)) - Im(FFT(x)).
+
+    Normalization matches reference ``nets/dht.py:29-36``: forward applies
+    1/N, inverse applies none. Used for cross-validation and full-spectrum
+    configurations; production paths use the pruned matmul transforms.
+    """
+    if axes is None:
+        axes = spatial_axes(x.ndim)
+    f = jnp.fft.fftn(x, axes=tuple(axes))
+    if not is_inverse:
+        norm = np.prod([x.shape[a] for a in axes]).astype(np.float64)
+        f = f / norm
+    return (f.real - f.imag).astype(x.dtype)
+
+
+def packed_reverse(x: jax.Array, axes: Sequence[int]) -> jax.Array:
+    """Reference ``get_reverse`` (flip then roll by 1) applied to a packed
+    spectrum (``nets/hartley_operator.py:320-333``).
+
+    On a *full-length* spectrum this is exactly X[k] -> X[(N-k) mod N]. On a
+    cropped/packed spectrum it differs from true reversal at the single
+    highest negative frequency per axis — a quirk the reference documents
+    (``nets/hartley_operator.py:280``) and which we reproduce bit-for-bit
+    for the ``use_transform=False`` individual-weights path.
+    """
+    for ax in axes:
+        x = jnp.roll(jnp.flip(x, ax), 1, ax)
+    return x
+
+
+def extended_reverse_perm(m: int) -> np.ndarray:
+    """Permutation implementing true reversal k -> (n-k) mod n on the
+    extended kept set [0..m, n-m..n-1] (length 2m+1).
+
+    Positions: p in [0, m] hold k=p; p in [m+1, 2m] hold k = n-(2m+1)+p.
+    Reversal: k=0 -> 0; k=p (1<=p<=m) -> n-p at position 2m+1-p;
+    k=n-q (1<=q<=m) -> q at position q.
+    """
+    perm = np.empty(2 * m + 1, dtype=np.int64)
+    perm[0] = 0
+    for p in range(1, m + 1):
+        perm[p] = 2 * m + 1 - p
+    for p in range(m + 1, 2 * m + 1):
+        perm[p] = 2 * m + 1 - p
+    return perm
+
+
+def extended_to_packed(x: jax.Array, axes: Sequence[int]) -> jax.Array:
+    """Drop the extra k=m row per axis: extended (2m+1) -> packed (2m)."""
+    for ax in axes:
+        m = (x.shape[ax] - 1) // 2
+        idx = np.concatenate([np.arange(m), np.arange(m + 1, 2 * m + 1)])
+        x = jnp.take(x, jnp.asarray(idx), axis=ax)
+    return x
+
+
+def extended_reverse(x: jax.Array, axes: Sequence[int]) -> jax.Array:
+    """True frequency reversal on an extended (2m+1 per axis) spectrum."""
+    for ax in axes:
+        m = (x.shape[ax] - 1) // 2
+        x = jnp.take(x, jnp.asarray(extended_reverse_perm(m)), axis=ax)
+    return x
