@@ -1,0 +1,95 @@
+"""Benchmark: HNOSeg-XS full-resolution BraTS'23 inference throughput.
+
+Protocol mirrors the reference (``experiments/train_test.py:384-426``):
+per-volume time on 240x240x155 volumes, compile excluded. Baseline: the
+published V100 number for HNOSeg-XS inference is < 0.24 s/volume
+(reference ``README.md:10``, Fig. 1 ~0.20 s).
+
+Measurement note: remote-tunnel PJRT backends can make per-dispatch
+wall-clock timing unreliable (async dispatch; completion only observable at
+host readback). We therefore time K model evaluations chained inside ONE
+jitted ``lax.fori_loop`` (loop-carried data dependency prevents hoisting),
+force completion with a scalar readback, and difference two loop lengths to
+cancel the fixed dispatch/readback overhead.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+with value = volumes/sec/chip and vs_baseline = speedup over the 0.24 s
+V100 reference.
+"""
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SECONDS_PER_VOLUME = 0.24  # V100, reference README.md:10
+SHAPE = (1, 4, 240, 240, 155)       # BraTS'23 full resolution
+N_SHORT = 2
+N_LONG = 12
+REPEATS = 3
+
+
+def _timed_loop(model, params, x, n_iters):
+    """Run the forward pass n_iters times with a loop-carried dependency;
+    return a scalar that forces full execution."""
+
+    def body(_, carry):
+        xc, acc = carry
+        y = model.apply({"params": params}, xc)
+        s = jnp.sum(y[0, :, ::16, ::16, ::16]) * 1e-12
+        return xc + s, acc + s
+
+    (_, acc) = jax.lax.fori_loop(0, n_iters, body, (x, jnp.float32(0.0)))
+    return acc
+
+
+def _measure(fn, x):
+    t0 = time.perf_counter()
+    float(fn(x))  # host readback forces completion
+    return time.perf_counter() - t0
+
+
+def main():
+    from multimodal_3d_image_segmentation_tpu import models
+
+    model = models.HNOSegXS(
+        in_channels=4, out_channels=4, filters=24,
+        num_transform_blocks=[3] * 8, num_modes=(10, 14, 14))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+
+    short = jax.jit(functools.partial(_timed_loop, model, params,
+                                      n_iters=N_SHORT))
+    long = jax.jit(functools.partial(_timed_loop, model, params,
+                                     n_iters=N_LONG))
+
+    # compile both
+    _measure(short, x)
+    _measure(long, x)
+
+    per_volume = []
+    for _ in range(REPEATS):
+        t_short = _measure(short, x)
+        t_long = _measure(long, x)
+        per_volume.append((t_long - t_short) / (N_LONG - N_SHORT))
+
+    sec_per_volume = float(np.median(per_volume))
+    volumes_per_sec = 1.0 / sec_per_volume
+    vs_baseline = BASELINE_SECONDS_PER_VOLUME / sec_per_volume
+
+    print(json.dumps({
+        "metric": "hnoseg_xs_brats23_240x240x155_inference_volumes_per_sec",
+        "value": round(volumes_per_sec, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

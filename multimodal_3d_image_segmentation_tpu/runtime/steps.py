@@ -1,0 +1,81 @@
+"""Jitted train / eval / predict steps.
+
+The reference's eager per-batch loop (``experiments/train_test.py:140-214``)
+becomes three compiled functions; label remap + one-hot happen on device
+inside the step so the host only ships raw integer labels.
+
+All steps are pure (state, batch) -> outputs and compose with any
+``jax.sharding`` placement: run them under a Mesh with sharded inputs and
+XLA inserts the gradient psum (data parallelism) and spatial collectives
+(volume sharding) automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from ..utils.labels import remap_labels, to_categorical
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "make_predict_step"]
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax train state (params + optimizer state + step)."""
+    pass
+
+
+def create_train_state(model, params, tx) -> TrainState:
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(loss_fn: Callable, num_labels: int,
+                    label_mapping: Optional[Dict[int, int]] = None,
+                    donate: bool = True):
+    """Build the jitted training step.
+
+    Args:
+        loss_fn: (y_pred, y_true_onehot) -> scalar.
+        num_labels: number of classes for one-hot.
+        label_mapping: optional {old: new} label remap applied on device.
+    """
+
+    def step(state: TrainState, x, y):
+        y = remap_labels(y, label_mapping)
+        y1h = to_categorical(y, num_labels)
+
+        def compute_loss(params):
+            y_pred = state.apply_fn({"params": params}, x)
+            return loss_fn(y_pred, y1h)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn: Callable, num_labels: int,
+                   label_mapping: Optional[Dict[int, int]] = None):
+    def step(state: TrainState, x, y):
+        y = remap_labels(y, label_mapping)
+        y1h = to_categorical(y, num_labels)
+        y_pred = state.apply_fn({"params": state.params}, x)
+        return loss_fn(y_pred, y1h)
+
+    return jax.jit(step)
+
+
+def make_predict_step(model):
+    """Forward + argmax to uint8 labels (reference
+    ``experiments/train_test.py:395-410``): argmax happens on device so only
+    the small label volume crosses back to host."""
+
+    def step(params, x):
+        y_pred = model.apply({"params": params}, x)
+        return jnp.argmax(y_pred, axis=1).astype(jnp.uint8)
+
+    return jax.jit(step)

@@ -1,0 +1,83 @@
+"""Distributed tests on the virtual 8-device CPU mesh: sharded train steps
+and the distributed spectral transform must match single-device numerics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_3d_image_segmentation_tpu import models, losses
+from multimodal_3d_image_segmentation_tpu.parallel import (
+    batch_sharding, make_mesh, replicated, volume_sharding)
+from multimodal_3d_image_segmentation_tpu.runtime import (
+    build_optimizer, create_train_state, make_train_step)
+from multimodal_3d_image_segmentation_tpu.ops import spectral
+
+
+def _model_and_data(batch=4):
+    model = models.HNOSegXS(2, 3, 8, [2, 2], (3, 4, 4))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, 2, 16, 16, 12)).astype(np.float32)
+    y = rng.integers(0, 3, size=(batch, 1, 16, 16, 12)).astype(np.int32)
+    return model, jnp.asarray(x), jnp.asarray(y)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_dht_matches_single_device():
+    """Spatially sharded pruned DHT == unsharded (XLA inserts the
+    collectives for the sharded contraction)."""
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 24, 16, 8, 3)).astype(np.float32))
+
+    f = jax.jit(lambda v: spectral.dht_pad_inverse(
+        spectral.dht_crop(v, (4, 3, 2)), v.shape[1:-1]))
+    want = np.asarray(f(x))
+
+    sharded = jax.device_put(
+        x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "spatial", None, None)))
+    got = np.asarray(f(sharded))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_data,n_spatial", [(8, 1), (2, 4)])
+def test_sharded_train_step_matches_single_device(n_data, n_spatial):
+    model, x, y = _model_and_data(batch=8)
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
+
+    step = make_train_step(losses.pcc_loss, num_labels=3, donate=False)
+
+    # single-device
+    state = create_train_state(model, params, tx)
+    state1, loss1 = step(state, x, y)
+
+    # sharded
+    mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
+    xs = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    ys = jax.device_put(y, batch_sharding(mesh, y.ndim))
+    state_r = jax.device_put(create_train_state(model, params, tx),
+                             replicated(mesh))
+    state2, loss2 = step(state_r, xs, ys)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    for p1, p2 in zip(jax.tree_util.tree_leaves(state1.params),
+                      jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_single_volume_spatial_sharding_inference():
+    """Whole-volume inference with the volume split across all 8 devices."""
+    model, x, y = _model_and_data(batch=1)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    fwd = jax.jit(lambda p, v: model.apply({"params": p}, v))
+    want = np.asarray(fwd(params, x))
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    xs = jax.device_put(x, volume_sharding(mesh, x.ndim, spatial_axis=0))
+    ps = jax.device_put(params, replicated(mesh))
+    got = np.asarray(fwd(ps, xs))
+    np.testing.assert_allclose(got, want, atol=1e-5)
