@@ -1,0 +1,82 @@
+"""Checkpoint / resume.
+
+The reference saves a dict checkpoint {epoch, model, optimizer, scheduler,
+min_loss, best_epoch} every N epochs and on each new best, plus a
+weights-only ``model/model.pt`` for inference
+(``experiments/train_test.py:262-286``). Here:
+
+  * ``checkpoint.msgpack`` — full train state (params + optimizer state +
+    step) + scalar metadata, serialized with flax msgpack;
+  * ``model.msgpack``      — weights-only export for inference;
+
+Schedules are pure functions of the step count, so restoring the step
+restores the learning-rate schedule exactly (the reference must serialize
+its stateful torch scheduler instead).
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+__all__ = ["save_checkpoint", "load_checkpoint", "save_params",
+           "load_params"]
+
+_MAGIC = b"M3SGCKPT"
+
+
+def _pack(tree) -> bytes:
+    return serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, serialization.to_state_dict(tree)))
+
+
+def save_checkpoint(path, state, epoch: int, min_loss: float,
+                    best_epoch: Optional[int]) -> None:
+    payload = {
+        "meta": {
+            "epoch": int(epoch),
+            "min_loss": float(min_loss),
+            "best_epoch": -1 if best_epoch is None else int(best_epoch),
+            "step": int(state.step),
+        },
+        "state": serialization.to_state_dict(state),
+    }
+    blob = serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, payload))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: a crash never corrupts the checkpoint
+
+
+def load_checkpoint(path, state):
+    """Restore (state, epoch, min_loss, best_epoch) from a checkpoint,
+    using ``state`` as the structure template."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"{path}: not a checkpoint file"
+        payload = serialization.msgpack_restore(f.read())
+    meta = payload["meta"]
+    state = serialization.from_state_dict(state, payload["state"])
+    best_epoch = None if meta["best_epoch"] < 0 else int(meta["best_epoch"])
+    return state, int(meta["epoch"]), float(meta["min_loss"]), best_epoch
+
+
+def save_params(path, params) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_pack(params))
+    os.replace(tmp, path)
+
+
+def load_params(path, params_template):
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(params_template, restored)
