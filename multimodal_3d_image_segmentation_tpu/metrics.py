@@ -189,7 +189,7 @@ def statistics_regional(y_true, y_pred, y_list_test, output_dir,
     metrics_all = defaultdict(list)
     for labs in region_labels:
         metrics = defaultdict(list)
-        if nproc is not None:
+        if nproc:  # nproc in (None, 0) -> serial
             partial_fn = partial(compute_regional_metrics, labels=labs,
                                  use_surface_dice=use_surface_dice,
                                  use_hd95=use_hd95)

@@ -1,12 +1,15 @@
-"""Spatial resampling as per-axis matmuls (TPU-friendly, exact semantics).
+"""Spatial resampling (TPU-friendly, exact PyTorch semantics).
 
 The reference uses ``torch.nn.functional.interpolate`` with
 mode='bilinear'/'trilinear' (align_corners=False) for output upsampling
 (``nets/hnosegxs.py:174-176``) and mode='nearest' for deep-supervision
-upsampling (``nets/architectures.py:638-653``). On TPU a separable resize is
-a chain of small dense matmuls (one per axis) that run on the MXU — and the
-interpolation matrices are computed once at trace time, so semantics are
-bit-exact with the PyTorch definitions:
+upsampling (``nets/architectures.py:638-653``).
+
+Linear interpolation is separable with exactly two taps per output sample,
+so each axis is one pair of gathers + a weighted add (memory-bound) — NOT a
+dense matmul, which for a 121 -> 240 upsample would burn ~100x the FLOPs on
+zeros. Indices/weights are computed at trace time with the PyTorch
+definitions:
 
   * linear, align_corners=False: src = (dst + 0.5) * in/out - 0.5, clamped.
   * nearest: src = floor(dst * in / out).
@@ -14,7 +17,7 @@ bit-exact with the PyTorch definitions:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,20 +27,16 @@ __all__ = ["resize_linear", "resize_nearest"]
 
 
 @functools.lru_cache(maxsize=None)
-def _linear_matrix_np(n_in: int, n_out: int) -> np.ndarray:
-    """(n_in, n_out) interpolation matrix, half-pixel centers."""
-    if n_in == n_out:
-        return np.eye(n_in)
+def _linear_taps_np(n_in: int, n_out: int
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lo_idx, hi_idx, hi_weight) per output sample, half-pixel centers."""
     dst = np.arange(n_out)
     src = (dst + 0.5) * (n_in / n_out) - 0.5
     src = np.clip(src, 0.0, n_in - 1)
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, n_in - 1)
-    w_hi = src - lo
-    mat = np.zeros((n_in, n_out))
-    mat[lo, dst] += 1.0 - w_hi
-    mat[hi, dst] += w_hi
-    return mat
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
 
 
 def resize_linear(x: jax.Array, sizes: Sequence[int]) -> jax.Array:
@@ -45,10 +44,16 @@ def resize_linear(x: jax.Array, sizes: Sequence[int]) -> jax.Array:
     axes = range(1, x.ndim - 1)
     for ax, n_out in zip(axes, sizes):
         n_in = x.shape[ax]
+        n_out = int(n_out)
         if n_in == n_out:
             continue
-        mat = jnp.asarray(_linear_matrix_np(n_in, int(n_out)), x.dtype)
-        x = jnp.moveaxis(jnp.tensordot(x, mat, axes=[[ax], [0]]), -1, ax)
+        lo, hi, w_hi = _linear_taps_np(n_in, n_out)
+        shape = [1] * x.ndim
+        shape[ax] = n_out
+        w = jnp.asarray(w_hi, x.dtype).reshape(shape)
+        x_lo = jnp.take(x, jnp.asarray(lo), axis=ax)
+        x_hi = jnp.take(x, jnp.asarray(hi), axis=ax)
+        x = x_lo + (x_hi - x_lo) * w
     return x
 
 

@@ -122,10 +122,20 @@ def _mats(n, m, forward, extended, sign, dtype):
     return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
 
 
+_LETTERS = "abcdefghijklmnop"
+
+
 def _tdot(x, mat, axis):
-    """Contract ``axis`` of x with mat's first axis; keep axis position."""
-    y = jnp.tensordot(x, mat, axes=[[axis], [0]], precision=PRECISION)
-    return jnp.moveaxis(y, -1, axis)
+    """Contract ``axis`` of x with mat's first axis; keep axis position.
+
+    Emitted as a single einsum (one dot_general) so XLA assigns layouts
+    itself instead of materializing transpose / moveaxis pairs around the
+    contraction.
+    """
+    subs = _LETTERS[:x.ndim]
+    out = subs[:axis] + "z" + subs[axis + 1:]
+    eq = f"{subs},{subs[axis]}z->{out}"
+    return jnp.einsum(eq, x, mat, precision=PRECISION)
 
 
 def _complex_chain(re, im, axes_mats):

@@ -1,0 +1,374 @@
+"""Training and testing engine.
+
+Re-design of reference ``experiments/train_test.py:31-426`` with identical
+run artifacts and selection semantics:
+
+  * epoch loop with train/valid phases; loss averaged per epoch;
+  * the LR schedule advances per *batch* (encoded in the optax schedule);
+  * best model = lowest validation loss after ``selection_epoch_portion``
+    of the epochs; weights-only export to ``model/model.msgpack``;
+  * checkpoint every ``checkpoint_epoch`` epochs and on each new best;
+    resume restores epoch/state/min_loss/best_epoch and truncates
+    ``stdout.txt`` back to the last checkpoint line so the log-derived
+    loss curves stay consistent;
+  * everything printed is teed to ``stdout.txt``; ``plot_loss.pdf`` is
+    re-parsed from that log by regex (the log is the metrics database);
+  * ``model_summary.txt`` written from ``flax.linen.tabulate``;
+  * testing: per-volume prediction with warm-up exclusion, argmax on
+    device, ``{pid}_true/_pred.nii.gz`` outputs, timing + device memory
+    stats to ``prediction_time_memory.txt``.
+
+TPU specifics: steps are jit-compiled once per (shape, dtype); the host
+loop only ships numpy batches and reads back scalar losses. With a mesh
+configured, batches are sharded over (data, spatial) axes and the state is
+replicated — XLA inserts the collectives.
+"""
+from __future__ import annotations
+
+import os
+import re
+import time
+from os.path import join
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import matplotlib
+if "DISPLAY" not in os.environ:
+    matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..data.nifti import write_image
+from ..parallel.mesh import batch_sharding, replicated
+from ..utils.labels import remap_labels
+from .checkpoint import (load_checkpoint, load_params, save_checkpoint,
+                         save_params)
+from .steps import (create_train_state, make_eval_step, make_predict_step,
+                    make_train_step)
+
+__all__ = ["training", "testing", "plot_losses", "get_losses_from_file",
+           "save_model_summary", "save_output"]
+
+
+class _Tee:
+    """Print to stdout (optionally) and append to stdout.txt — the
+    reference's print-and-tee pattern
+    (``experiments/train_test.py:177-184``)."""
+
+    def __init__(self, path, is_print=True):
+        self.path = path
+        self.is_print = is_print
+
+    def __call__(self, *args, file_only=False, **kwargs):
+        if self.is_print and not file_only:
+            print(*args, **kwargs)
+        with open(self.path, "a") as f:
+            print(*args, file=f, **kwargs)
+
+
+def save_model_summary(model, input_shape, path=None):
+    """Write a layer table via nn.tabulate (analog of torchinfo summary,
+    reference ``experiments/utils.py:122-134``)."""
+    import flax.linen as nn
+    x = jnp.zeros(input_shape, jnp.float32)
+    txt = nn.tabulate(model, jax.random.PRNGKey(0),
+                      compute_flops=False, compute_vjp_flops=False)(x)
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(txt)
+    return txt
+
+
+def save_output(y, data_lists_test, idx_sample, output_dir,
+                output_origin=None, suffix=""):
+    """Save a label map as ``{pid}{suffix}.nii.gz`` with the patient ID
+    taken from the parent folder name (reference
+    ``experiments/utils.py:234-257``)."""
+    y = np.asarray(y, dtype=np.uint8)
+    fname = data_lists_test[0][idx_sample]
+    pid = fname.split("/")[-2]
+    out = os.path.join(output_dir, f"{pid}{suffix}.nii.gz")
+    write_image(y, out, origin=output_origin)
+
+
+def training(model, input_data, output_dir, loss_fn, tx,
+             label_mapping=None, num_epochs=100,
+             selection_epoch_portion=0.8, checkpoint_epoch=10,
+             is_plot_model=False, is_print=True, plot_epoch_portion=None,
+             mesh=None, seed=0, params=None):
+    """Train a model; returns the final (best-on-valid) params.
+
+    Args mirror the reference ``training``
+    (``experiments/train_test.py:31-68``); ``tx`` is the optax optimizer
+    (schedule already bound), ``mesh`` optionally distributes the step.
+    """
+    model_dir = join(output_dir, "model")
+    model_path = join(model_dir, "model.msgpack")
+    chkpt_path = join(model_dir, "checkpoint.msgpack")
+    stdout_file = join(output_dir, "stdout.txt")
+    os.makedirs(model_dir, exist_ok=True)
+    tee = _Tee(stdout_file, is_print)
+
+    num_labels = model.out_channels
+    image_size = input_data.get_train_image_size()
+    input_shape = (input_data.batch_size, model.in_channels) + tuple(
+        image_size)
+
+    if params is None:
+        params = model.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1,) + input_shape[1:]))["params"]
+    state = create_train_state(model, params, tx)
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    train_step = make_train_step(loss_fn, num_labels, label_mapping)
+    eval_step = make_eval_step(loss_fn, num_labels, label_mapping)
+
+    if os.path.exists(chkpt_path):
+        state, epoch, min_loss, best_epoch = load_checkpoint(chkpt_path,
+                                                             state)
+        start_epoch = epoch + 1
+        if start_epoch >= num_epochs:
+            raise RuntimeError(
+                f"Checkpoint detected, but start_epoch ({start_epoch}) >= "
+                f"num_epochs ({num_epochs})")
+        if is_print:
+            print(f"Checkpoint loaded for epoch {start_epoch}")
+        # Truncate stdout.txt after the last checkpoint marker so the
+        # regex-parsed loss curves stay consistent
+        # (reference ``experiments/train_test.py:90-100``).
+        if os.path.exists(stdout_file):
+            with open(stdout_file) as f:
+                lines = f.readlines()[::-1]
+            idx = None
+            for i, ln in enumerate(lines):
+                if "checkpoint" in ln:
+                    idx = i
+                    break
+            if idx is not None:
+                with open(stdout_file, "w") as f:
+                    f.writelines(lines[idx:][::-1])
+    else:
+        start_epoch = 0
+        min_loss = float("inf")
+        best_epoch = None
+
+        tee("train_num_batches:", input_data.get_train_num_batches())
+        tee("valid_num_batches:", input_data.get_valid_num_batches())
+        tee()
+        try:
+            save_model_summary(model, (1,) + input_shape[1:],
+                               join(output_dir, "model_summary.txt"))
+        except Exception as e:  # tabulate must never kill a run
+            if is_print:
+                print(f"model summary failed: {e}")
+
+    train_flow = input_data.get_train_flow(shuffle=True)
+    valid_flow = input_data.get_valid_flow()
+
+    def put(x, y):
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y)
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
+            y = jax.device_put(y, batch_sharding(mesh, y.ndim))
+        return x, y
+
+    if is_print:
+        print("Training started")
+        print(output_dir)
+
+    start_time = time.time()
+
+    for epoch in range(start_epoch, num_epochs):
+        # Training phase
+        train_losses = []
+        for x, y in train_flow:
+            x, y = put(x, y)
+            state, loss = train_step(state, x, y)
+            train_losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in train_losses]))
+        tee("\n-------------------------")
+        tee(f"Epoch: {epoch}")
+        tee(f"train_loss: {train_loss}")
+
+        # Validation phase
+        valid_losses = []
+        for x, y in valid_flow:
+            x, y = put(x, y)
+            valid_losses.append(eval_step(state, x, y))
+        valid_loss = float(np.mean([float(l) for l in valid_losses]))
+        tee(f"valid_loss: {valid_loss}")
+
+        if (epoch + 1) % checkpoint_epoch == 0:
+            save_checkpoint(chkpt_path, state, epoch, min_loss, best_epoch)
+            tee("Standard checkpoint saved.")
+
+        selection_epoch = int(num_epochs * selection_epoch_portion)
+        if ((epoch > selection_epoch or epoch == num_epochs - 1)
+                and valid_loss < min_loss):
+            min_loss = valid_loss
+            best_epoch = epoch
+            save_params(model_path, state.params)
+            if (epoch + 1) % checkpoint_epoch != 0:
+                save_checkpoint(chkpt_path, state, epoch, min_loss,
+                                best_epoch)
+                tee("Best checkpoint saved.")
+
+    end_time = time.time()
+
+    if best_epoch is not None:
+        params = load_params(model_path, state.params)
+    else:  # num_epochs == 0, i.e. no training
+        params = state.params
+        save_params(model_path, params)
+
+    # Plot losses from the log
+    try:
+        start_plot_epoch = (int(num_epochs * plot_epoch_portion)
+                            if plot_epoch_portion is not None else 0)
+        losses = get_losses_from_file(stdout_file)
+        plot_losses(num_epochs, start_plot_epoch, losses, ["r", "b--"],
+                    ["Train loss", "Valid loss"],
+                    join(output_dir, "plot_loss.pdf"))
+    except Exception as e:
+        if is_print:
+            print(f"loss plot failed: {e}")
+
+    tee(f"\nTime used: {end_time - start_time:.2f} seconds.")
+    tee(f"Best epoch: {best_epoch}")
+    tee(f"Min loss: {min_loss}")
+
+    if hasattr(train_flow, "close"):
+        train_flow.close()
+    if hasattr(valid_flow, "close"):
+        valid_flow.close()
+
+    return params
+
+
+def get_losses_from_file(filename):
+    """Parse train/valid loss curves back out of stdout.txt
+    (reference ``experiments/train_test.py:289-302``)."""
+    with open(filename) as f:
+        lines = f.readlines()
+    train_loss, valid_loss = [], []
+    for ln in lines:
+        if "train_loss" in ln:
+            train_loss.append(float(re.findall("train_loss: (.+)", ln)[0]))
+        elif "valid_loss" in ln:
+            valid_loss.append(float(re.findall("valid_loss: (.+)", ln)[0]))
+    assert len(train_loss) == len(valid_loss)
+    return train_loss, valid_loss
+
+
+def plot_losses(num_epochs, start_plot_epoch, losses, styles, labels,
+                output_file):
+    """Loss-curve PDF (reference ``experiments/train_test.py:305-329``)."""
+    fig, ax = plt.subplots()
+    fig.set_size_inches(10, 5)
+    x = np.arange(num_epochs)[start_plot_epoch:]
+    for i in range(len(losses)):
+        y = losses[i][start_plot_epoch:]
+        ax.plot(x[:len(y)], y, styles[i], label=labels[i])
+    plt.xlabel("Epoch")
+    plt.ylabel("Value")
+    ax.xaxis.label.set_fontsize(20)
+    ax.yaxis.label.set_fontsize(20)
+    ax.tick_params(labelsize=20)
+    plt.grid(which="both")
+    legend = ax.legend(loc="upper right", fancybox=True, framealpha=0.8,
+                       ncol=1)
+    for label in legend.get_texts():
+        label.set_fontsize(20)
+    for label in legend.get_lines():
+        label.set_linewidth(1.5)
+    fig.savefig(output_file, bbox_inches="tight")
+    plt.close(fig)
+
+
+def _device_memory_stats():
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use", 0)
+        in_use = stats.get("bytes_in_use", 0)
+        return peak / 1024 ** 2, in_use / 1024 ** 2
+    except Exception:
+        return float("nan"), float("nan")
+
+
+def testing(model, params, input_data, output_dir, label_mapping=None,
+            output_origin=None, is_print=True, mesh=None):
+    """Per-volume prediction on the test split
+    (reference ``experiments/train_test.py:332-426``)."""
+    assert input_data.batch_size == 1
+    os.makedirs(output_dir, exist_ok=True)
+
+    test_num_batches = input_data.get_test_num_batches()
+    data_lists_test = input_data.data_lists_test
+
+    if is_print:
+        print("test_num_batches:", test_num_batches)
+        print()
+        print("Testing started")
+        print(output_dir)
+
+    predict_step = make_predict_step(model)
+    if mesh is not None:
+        params = jax.device_put(params, replicated(mesh))
+
+    test_flow = input_data.get_test_flow()
+    start_time = time.time()
+    predict_times = []
+
+    for i, xy in enumerate(test_flow):
+        s_time = time.time()
+        y_true = None
+        if isinstance(xy, (tuple, list)):
+            x, y = xy
+            y_true = np.asarray(y, dtype=np.uint8)[0, 0]
+        else:
+            x = xy
+        x = jnp.asarray(x, jnp.float32)
+        if mesh is not None:
+            from ..parallel.mesh import volume_sharding
+            x = jax.device_put(x, volume_sharding(mesh, x.ndim))
+
+        y_pred = np.asarray(predict_step(params, x))  # readback = completion
+        e_time = time.time()
+
+        if y_true is not None:
+            save_output(y_true, data_lists_test, i,
+                        os.path.join(output_dir, "images"), output_origin,
+                        "_true")
+        y_pred = y_pred[0]
+        if label_mapping is not None:
+            y_pred = remap_labels(y_pred, label_mapping)
+        save_output(y_pred, data_lists_test, i,
+                    os.path.join(output_dir, "images"), output_origin,
+                    "_pred")
+
+        if i != 0:  # first iteration includes compilation
+            predict_times.append(e_time - s_time)
+
+    end_time = time.time()
+    peak_mib, in_use_mib = _device_memory_stats()
+    avg_time = float(np.mean(predict_times)) if predict_times else float("nan")
+
+    if is_print:
+        print(f"\nTime used: {end_time - start_time:.2f} seconds.")
+        print(f"Average prediction time: {avg_time}")
+        print(f"peak_device_memory: {peak_mib:.2f} MiB")
+        print(f"device_memory_in_use: {in_use_mib:.2f} MiB")
+    with open(os.path.join(output_dir, "prediction_time_memory.txt"),
+              "w") as f:
+        print(f"Average prediction time: {avg_time}", file=f)
+        print(f"peak_device_memory: {peak_mib:.2f} MiB", file=f)
+        print(f"device_memory_in_use: {in_use_mib:.2f} MiB", file=f)
+
+    if hasattr(test_flow, "close"):
+        test_flow.close()

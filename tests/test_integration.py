@@ -1,0 +1,215 @@
+"""End-to-end integration: synthetic NIfTI volumes through
+config -> train -> test -> statistics, plus resume and zero-shot SR."""
+import os
+from io import StringIO
+
+import numpy as np
+import pytest
+
+from multimodal_3d_image_segmentation_tpu.data.nifti import (read_image,
+                                                             write_image)
+from multimodal_3d_image_segmentation_tpu.runtime.config import get_config
+from multimodal_3d_image_segmentation_tpu.runtime.run import run
+
+SHAPE = (12, 14, 10)  # (z, y, x)
+
+
+def _make_dataset(root, n=4, shape=SHAPE, seed=0):
+    """Synthetic 2-modality dataset: blobs with labels 0/1/2."""
+    rng = np.random.default_rng(seed)
+    lists = {"m0": [], "m1": [], "seg": []}
+    for i in range(n):
+        pdir = root / f"case{i}"
+        os.makedirs(pdir, exist_ok=True)
+        zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape],
+                                 indexing="ij")
+        c = [s // 2 + rng.integers(-2, 3) for s in shape]
+        r2 = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+        seg = np.zeros(shape, np.uint8)
+        seg[r2 < 16] = 1
+        seg[r2 < 4] = 2
+        segf = seg.astype(np.float32)
+        m0 = segf * 10 + rng.standard_normal(shape) + 20
+        m1 = segf * -5 + rng.standard_normal(shape) + 40
+        for name, arr in [("m0", m0.astype(np.float32)),
+                          ("m1", m1.astype(np.float32)), ("seg", seg)]:
+            fn = str(pdir / f"case{i}-{name}.nii.gz")
+            write_image(arr, fn, spacing=(1.0, 1.0, 1.0))
+            lists[name].append(fn)
+    return lists
+
+
+def _write_lists(tmp_path, lists, split):
+    paths = []
+    for name in ["m0", "m1", "seg"]:
+        fn = str(tmp_path / f"{name}_{split}.txt")
+        with open(fn, "w") as f:
+            f.writelines([ln + "\n" for ln in lists[name]])
+        paths.append(fn)
+    return paths
+
+
+def _config(tmp_path, output_dir, train_paths, valid_paths, test_paths,
+            num_epochs=2, is_train=True, is_test=True, is_statistics=True,
+            is_continue=False, extra=""):
+    cfg = f"""
+[main]
+output_dir = '{output_dir}'
+is_train = {is_train}
+is_test = {is_test}
+is_statistics = {is_statistics}
+is_continue = {is_continue}
+visible_devices = '0'
+
+[input_lists]
+data_dir = ''
+data_lists_train_paths = {train_paths!r}
+data_lists_valid_paths = {valid_paths!r}
+data_lists_test_paths = {test_paths!r}
+
+[input_args]
+idx_x_modalities = [0, 1]
+idx_y_modalities = [2]
+batch_size = 1
+num_workers = 0
+use_data_normalization = True
+
+[augmentation]
+rotation_range = [10, 0, 0]
+shift_range = [0.1, 0.1, 0.1]
+zoom_range = [0.9, 1.1]
+augmentation_probability = 0.5
+
+[model]
+model_name = 'HNOSegXS'
+out_channels = 3
+filters = 8
+num_transform_blocks = [2, 2]
+num_modes = (3, 3, 3)
+
+[optimizer]
+optimizer_name = 'Adamax'
+lr = 5e-3
+
+[scheduler]
+scheduler_name = 'CosineAnnealingWarmRestarts'
+eta_min = 1e-3
+
+[loss]
+loss_name = 'PCCLoss'
+
+[train]
+num_epochs = {num_epochs}
+selection_epoch_portion = 0.5
+is_print = False
+
+[test]
+output_folder = 'test'
+
+[statistics]
+use_surface_dice = True
+use_hd95 = True
+region_names = ['background', 'lesion', 'core']
+region_labels = [
+    [0],
+    [1, 2],
+    [2],
+    ]
+{extra}
+"""
+    sio = StringIO(cfg)
+    return get_config(sio, source=str(tmp_path / "config.ini"))
+
+
+def test_full_pipeline(tmp_path):
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=4)
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()},
+                         "train")
+    valid = _write_lists(tmp_path, {k: v[2:3] for k, v in lists.items()},
+                         "valid")
+    test = _write_lists(tmp_path, {k: v[3:] for k, v in lists.items()},
+                        "test")
+    out = str(tmp_path / "exp")
+
+    cfg = _config(tmp_path, out, train, valid, test, num_epochs=2)
+    run(cfg)
+
+    # artifacts
+    assert os.path.exists(os.path.join(out, "config.ini"))
+    assert os.path.exists(os.path.join(out, "stdout.txt"))
+    assert os.path.exists(os.path.join(out, "model/model.msgpack"))
+    assert os.path.exists(os.path.join(out, "model/checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(out, "plot_loss.pdf"))
+    assert os.path.exists(os.path.join(out, "model_summary.txt"))
+    assert os.path.exists(os.path.join(out, "test/images/case3_pred.nii.gz"))
+    assert os.path.exists(os.path.join(out, "test/images/case3_true.nii.gz"))
+    assert os.path.exists(os.path.join(out,
+                                       "test/prediction_time_memory.txt"))
+    assert os.path.exists(os.path.join(out, "test/results_regional.csv"))
+    assert os.path.exists(os.path.join(out,
+                                       "test/average_results_regional.txt"))
+
+    pred = read_image(os.path.join(out, "test/images/case3_pred.nii.gz"))
+    assert pred.array.shape == SHAPE
+    assert set(np.unique(pred.array)).issubset({0, 1, 2})
+
+    # stdout.txt holds the loss history
+    log = open(os.path.join(out, "stdout.txt")).read()
+    assert log.count("train_loss:") == 2
+    assert log.count("valid_loss:") == 2
+
+
+def test_refuses_overwrite_and_resume(tmp_path):
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=3)
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()},
+                         "train")
+    valid = _write_lists(tmp_path, {k: v[2:] for k, v in lists.items()},
+                         "valid")
+    out = str(tmp_path / "exp")
+
+    cfg = _config(tmp_path, out, train, valid, valid, num_epochs=2,
+                  is_test=False, is_statistics=False)
+    run(cfg)
+
+    # refuse to overwrite without is_continue (reference run.py:75-77)
+    cfg2 = _config(tmp_path, out, train, valid, valid, num_epochs=2,
+                   is_test=False, is_statistics=False)
+    with pytest.raises(RuntimeError, match="already exists"):
+        run(cfg2)
+
+    # resume: more epochs, continues from checkpoint
+    cfg3 = _config(tmp_path, out, train, valid, valid, num_epochs=4,
+                   is_test=False, is_statistics=False, is_continue=True)
+    run(cfg3)
+    log = open(os.path.join(out, "stdout.txt")).read()
+    assert "Epoch: 3" in log
+
+
+def test_zero_shot_super_resolution_pipeline(tmp_path):
+    """Train at low resolution, test at double resolution with the same
+    weights (reference README.md:83-87 semantics via test-only config)."""
+    lo_root = tmp_path / "lo"
+    hi_root = tmp_path / "hi"
+    os.makedirs(lo_root), os.makedirs(hi_root)
+    lo = _make_dataset(lo_root, n=3, shape=(10, 12, 8))
+    hi = _make_dataset(hi_root, n=2, shape=(20, 24, 16), seed=7)
+
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lo.items()}, "tr")
+    valid = _write_lists(tmp_path, {k: v[2:] for k, v in lo.items()}, "va")
+    hi_test = _write_lists(tmp_path, hi, "hite")
+    out = str(tmp_path / "exp_sr")
+
+    cfg = _config(tmp_path, out, train, valid, hi_test, num_epochs=1,
+                  is_test=False, is_statistics=False)
+    run(cfg)
+
+    # test-only at the higher resolution: same weights, new shapes
+    cfg2 = _config(tmp_path, out, train, valid, hi_test, is_train=False,
+                   is_test=True, is_statistics=False)
+    run(cfg2)
+    pred = read_image(os.path.join(out, "test/images/case0_pred.nii.gz"))
+    assert pred.array.shape == (20, 24, 16)
