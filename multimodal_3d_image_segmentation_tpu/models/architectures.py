@@ -27,7 +27,8 @@ import numpy as np
 
 from ..ops.activations import get_activation, is_selu
 from ..ops.attention import HartleyMultiHeadAttention
-from ..ops.convs import Conv, ConvNormAct, ConvTransposeNormAct
+from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
+                         ConvTransposeNormAct)
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
@@ -71,11 +72,10 @@ class _TransBlockMixin:
 
         if self.use_block_skip:
             if self.use_block_concat:
-                x = jnp.concatenate([x, tmp], axis=-1)
-                x = ConvNormAct(self.out_channels, use_bias=True,
-                                activation=self.activation,
-                                use_snn=is_selu(self.activation),
-                                name="conv_concat")(x)
+                x = ConcatConvNormAct(self.out_channels, use_bias=True,
+                                      activation=self.activation,
+                                      use_snn=is_selu(self.activation),
+                                      name="conv_concat")((x, tmp))
             else:
                 x = x + tmp
         return x
@@ -173,11 +173,11 @@ class _TransSegBase(nn.Module):
                 tensors.append(x)
 
         if tensors:
-            x = jnp.concatenate(tensors, axis=-1)
-            # conv_ds avoids OOM on the concatenated deep-supervision stack
-            x = ConvNormAct(self.out_channels, use_bias=True,
-                            activation=self.activation, use_snn=snn,
-                            name="conv_ds")(x)
+            # conv_ds avoids OOM on the concatenated deep-supervision stack;
+            # the concat stays virtual (split-kernel 1x1)
+            x = ConcatConvNormAct(self.out_channels, use_bias=True,
+                                  activation=self.activation, use_snn=snn,
+                                  name="conv_ds")(tuple(tensors))
 
         if self.use_resize:
             x = resize_linear(x, image_size)
@@ -368,10 +368,10 @@ class VNetDS(nn.Module):
         else:
             ref_size = right_leg_ref[0].shape[1:-1]
             ups = [resize_nearest(t, ref_size) for _, t in right_leg]
-            x = jnp.concatenate(ups, axis=-1)
-            x = ConvNormAct(self.out_channels, use_bias=True,
-                            activation=self.activation, use_snn=self.use_snn,
-                            name="conv_ds")(x)
+            x = ConcatConvNormAct(self.out_channels, use_bias=True,
+                                  activation=self.activation,
+                                  use_snn=self.use_snn,
+                                  name="conv_ds")(tuple(ups))
 
         if self.use_resize:
             x = resize_linear(x, image_size)

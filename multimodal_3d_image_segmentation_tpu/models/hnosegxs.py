@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.activations import get_activation, is_selu
-from ..ops.convs import Conv, ConvNormAct
+from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
+                         _SplitKernelConv1x1)
 from ..ops.operators import HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear
@@ -85,12 +86,17 @@ class HNOXSBlock(nn.Module):
     snn_init: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
+        """``skip`` is the U-Net skip tensor; it is concatenated (virtually)
+        with x before the mapping conv, never materialized."""
         if self.in_channels != self.out_channels:
-            x = ConvNormAct(self.out_channels, use_bias=True,
-                            activation=self.activation,
-                            use_snn=is_selu(self.activation),
-                            name="mapping_conv")(x)
+            inputs = (x,) if skip is None else (x, skip)
+            x = ConcatConvNormAct(self.out_channels, use_bias=True,
+                                  activation=self.activation,
+                                  use_snn=is_selu(self.activation),
+                                  name="mapping_conv")(inputs)
+        else:
+            assert skip is None
 
         tmp = x
         nd = x.ndim - 2
@@ -118,11 +124,10 @@ class HNOXSBlock(nn.Module):
         # Block skip AFTER normalization/activation (reference
         # ``nets/hnosegxs.py:270-277``: intensity range of pad_inverse).
         if self.use_block_concat:
-            x = jnp.concatenate([x, tmp], axis=-1)
-            x = ConvNormAct(self.out_channels, use_bias=True,
-                            activation=self.activation,
-                            use_snn=is_selu(self.activation),
-                            name="conv_concat")(x)
+            x = ConcatConvNormAct(self.out_channels, use_bias=True,
+                                  activation=self.activation,
+                                  use_snn=is_selu(self.activation),
+                                  name="conv_concat")((x, tmp))
         else:
             x = x + tmp
         return x
@@ -181,16 +186,16 @@ class HNOSegXS(nn.Module):
         for i, num_convs in enumerate(ntb):
             # Decoding: always exclude i == num_blocks // 2 (median /
             # self-input block), reference ``nets/hnosegxs.py:116-128``.
+            skip = None
             if self.use_unet_skip and i > num_blocks // 2:
                 skip = encode_tensors[num_blocks - 1 - i]
-                x = jnp.concatenate([x, skip], axis=-1)
                 cur_in = cur_in + skip.shape[-1]
 
             x = HNOXSBlock(num_convs, cur_in, self.filters, self.num_modes,
                            weights_type=self.weights_type,
                            activation=self.activation,
                            use_block_concat=self.use_block_concat,
-                           snn_init=snn, name=f"layers_{i}")(x)
+                           snn_init=snn, name=f"layers_{i}")(x, skip)
             cur_in = self.filters
 
             if self.use_deep_supervision:
@@ -198,14 +203,18 @@ class HNOSegXS(nn.Module):
             if self.use_unet_skip and i < num_blocks // 2:
                 encode_tensors[i] = x
 
-        if ds_tensors:
-            x = jnp.concatenate(ds_tensors, axis=-1)
+        # conv_out is a 1x1 (pointwise, linear, no bias) conv and the
+        # resize is linear and per-channel, so they commute exactly; apply
+        # conv_out on the (virtual) deep-supervision concat at the block
+        # grid BEFORE upsampling so the resize moves out_channels instead
+        # of the full feature stack. Numerically identical to the
+        # reference order (``nets/hnosegxs.py:171-178``).
+        x = _SplitKernelConv1x1(self.out_channels, use_bias=False,
+                                snn_init=snn, name="conv_out")(
+            tuple(ds_tensors) if ds_tensors else x)
 
         if self.use_resize:
             x = resize_linear(x, image_size)
-
-        x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
-                 name="conv_out")(x)
         x = spatial_padcrop(x, image_size)
 
         if self.output_activation == "softmax":

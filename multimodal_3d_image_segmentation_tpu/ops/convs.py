@@ -24,7 +24,8 @@ import numpy as np
 from . import initializers as inits
 from .activations import get_activation, is_selu
 
-__all__ = ["Conv", "ConvTranspose", "ConvNormAct", "ConvTransposeNormAct"]
+__all__ = ["Conv", "ConvTranspose", "ConvNormAct", "ConvTransposeNormAct",
+           "ConcatConvNormAct", "_SplitKernelConv1x1"]
 
 
 def _tuple(v, nd: int) -> Tuple[int, ...]:
@@ -125,6 +126,73 @@ class ConvTranspose(nn.Module):
             bias = self.param("bias", b_init, (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+class _SplitKernelConv1x1(nn.Module):
+    """1x1 conv over a *virtual* concatenation of inputs.
+
+    Holds one kernel of shape (1,..,1, sum(C_i), features) — identical
+    parameters to a Conv applied to ``concatenate(inputs, -1)`` — but
+    computes ``sum_i x_i @ K_i`` so the concatenated tensor is never
+    materialized in HBM (the concats in the reference blocks are the
+    widest tensors in the network).
+    """
+    features: int
+    use_bias: bool = True
+    snn_init: bool = False
+
+    @nn.compact
+    def __call__(self, inputs) -> jax.Array:
+        if not isinstance(inputs, (tuple, list)):
+            inputs = (inputs,)
+        nd = inputs[0].ndim - 2
+        cins = [x.shape[-1] for x in inputs]
+        fan_in = sum(cins)
+        w_init = (inits.kaiming_normal_linear(fan_in) if self.snn_init
+                  else inits.kaiming_uniform_a5(fan_in))
+        kernel = self.param("kernel", w_init,
+                            (1,) * nd + (fan_in, self.features))
+        mat = kernel.reshape(fan_in, self.features)
+
+        y = None
+        off = 0
+        for x, c in zip(inputs, cins):
+            part = jnp.einsum("...i,io->...o", x,
+                              mat[off:off + c].astype(x.dtype))
+            y = part if y is None else y + part
+            off += c
+
+        if self.use_bias:
+            b_init = (inits.snn_bias() if self.snn_init
+                      else inits.torch_conv_bias(fan_in))
+            bias = self.param("bias", b_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConcatConvNormAct(nn.Module):
+    """ConvNormAct(kernel=1) over a virtual concat of inputs — numerically
+    identical to ``ConvNormAct(...)(concatenate(inputs, -1))`` with the same
+    parameter tree, without materializing the concat."""
+    features: int
+    use_bias: bool = True
+    activation: Union[str, None] = "selu"
+    use_snn: bool = True
+
+    @nn.compact
+    def __call__(self, inputs) -> jax.Array:
+        if self.use_snn and not is_selu(self.activation):
+            raise RuntimeError(
+                "Self-normalizing neural network (SNN) must be used with SELU.")
+        snn_init = self.use_snn and is_selu(self.activation)
+        x = _SplitKernelConv1x1(self.features, use_bias=self.use_bias,
+                                snn_init=snn_init, name="conv")(inputs)
+        if not self.use_snn:
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
+        act = get_activation(self.activation)
+        if act is not None:
+            x = act(x)
+        return x
 
 
 class ConvNormAct(nn.Module):
