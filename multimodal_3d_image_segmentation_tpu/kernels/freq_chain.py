@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: fused frequency-resident convolution chain.
+
+The HNOSeg-XS inner loop applies n_XS channel-mixing convolutions with
+identity skips and SELU on the packed corner spectrum
+(reference ``nets/hnosegxs.py:307-329``):
+
+    x <- selu(x @ W_k^T + x),  k = 1..n_XS
+
+The packed spectrum is tiny (e.g. 20x28x28x24 fp32 ~ 1.5 MB) so the whole
+chain fits in VMEM. This kernel streams row tiles HBM -> VMEM once, applies
+all n_XS matmuls + skips + SELUs on-chip, and writes back once — one HBM
+round trip instead of n_XS.
+
+Every frequency point is independent (the weights are shared across modes),
+so rows = flattened (batch, modes) and the kernel is a 1D grid over row
+tiles.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_freq_chain"]
+
+_TILE = 512
+
+
+def _kernel(x_ref, w_ref, o_ref):
+    acc = x_ref[:]
+    n_chain = w_ref.shape[0]
+    for k in range(n_chain):  # static unroll: n_XS is small (typically 3)
+        h = jnp.dot(acc, w_ref[k], preferred_element_type=jnp.float32)
+        acc = jax.nn.selu(h + acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_rows(x2d: jax.Array, w: jax.Array, interpret: bool = False):
+    n, c = x2d.shape
+    n_pad = -n % _TILE
+    if n_pad:
+        x2d = jnp.pad(x2d, ((0, n_pad), (0, 0)))
+    grid = (x2d.shape[0] // _TILE,)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w.shape[0], c, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2d, w)
+    return out[:n] if n_pad else out
+
+
+def fused_freq_chain(x: jax.Array, weights: Sequence[jax.Array],
+                     interpret: bool = None) -> jax.Array:
+    """Apply the fused chain to a packed spectrum (B, *modes, C).
+
+    Args:
+        x: packed corner spectrum, channels-last.
+        weights: list of (out, in) matrices (reference layout); out == in.
+        interpret: run the kernel in interpreter mode (CPU tests).
+
+    Equivalent to: for W in weights: x = selu(einsum('...i,oi->...o', x, W) + x).
+    """
+    c = x.shape[-1]
+    for w in weights:
+        assert w.shape == (c, c), "fused chain requires square shared weights"
+    if interpret is None:  # interpreter mode off-TPU (tests on CPU)
+        interpret = jax.default_backend() != "tpu"
+    # '...i,oi->...o' == x @ W^T: pre-transpose once.
+    w = jnp.stack([w.T for w in weights]).astype(x.dtype)
+    shape = x.shape
+    out = _fused_rows(x.reshape(-1, c), w, interpret=interpret)
+    return out.reshape(shape)

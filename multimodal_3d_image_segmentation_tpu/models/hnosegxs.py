@@ -39,6 +39,35 @@ from ..ops.spectral import (clip_modes, dht_crop, dht_pad_inverse,
 __all__ = ["HNOSegXS", "HNOXSBlock"]
 
 
+class _OpWeight(nn.Module):
+    """Param-only holder mirroring the layout of a HartleyOperator weight
+    (used by the fused Pallas path so parameter paths stay identical to the
+    module path: ``conv_blocks_{j}/op/weight``)."""
+    out_channels: int
+    in_channels: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        from ..ops import initializers as inits
+        init = (inits.kaiming_normal_linear(self.in_channels)
+                if self.snn_init
+                else inits.kaiming_uniform_a5(self.in_channels))
+        return self.param("weight", init,
+                          (self.out_channels, self.in_channels))
+
+
+class _OpScope(nn.Module):
+    out_channels: int
+    in_channels: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        return _OpWeight(self.out_channels, self.in_channels,
+                         self.snn_init, name="op")()
+
+
 class _FreqResidentConv(nn.Module):
     """One frequency-domain convolution with identity skip + activation
     (reference ``nets/hnosegxs.py:282-329``). Operates on the packed
@@ -84,6 +113,13 @@ class HNOXSBlock(nn.Module):
     use_conv_branch: bool = False
     use_block_concat: bool = True
     snn_init: bool = False
+    use_pallas: bool = False
+
+    def _can_fuse(self):
+        """The Pallas fused chain covers the common configuration: shared
+        weights, SELU (no normalization), no conv branch."""
+        return (self.use_pallas and self.weights_type == "shared"
+                and is_selu(self.activation) and not self.use_conv_branch)
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -105,12 +141,20 @@ class HNOXSBlock(nn.Module):
 
         # TransformCrop: one forward DHT restricted to the kept modes.
         y = dht_crop(x, modes)
-        for i in range(self.num_convs):
-            y = _FreqResidentConv(
-                self.out_channels, self.out_channels, self.num_modes,
-                weights_type=self.weights_type, activation=self.activation,
-                use_conv_branch=self.use_conv_branch,
-                snn_init=self.snn_init, name=f"conv_blocks_{i}")(y)
+        if self._can_fuse():
+            from ..kernels.freq_chain import fused_freq_chain
+            weights = [_OpScope(self.out_channels, self.out_channels,
+                                self.snn_init, name=f"conv_blocks_{i}")()
+                       for i in range(self.num_convs)]
+            y = fused_freq_chain(y, weights)
+        else:
+            for i in range(self.num_convs):
+                y = _FreqResidentConv(
+                    self.out_channels, self.out_channels, self.num_modes,
+                    weights_type=self.weights_type,
+                    activation=self.activation,
+                    use_conv_branch=self.use_conv_branch,
+                    snn_init=self.snn_init, name=f"conv_blocks_{i}")(y)
         # PadInverse: one inverse DHT back to the block grid.
         x = dht_pad_inverse(y, sizes)
 
@@ -153,6 +197,7 @@ class HNOSegXS(nn.Module):
     output_activation: Union[str, Callable, None] = "softmax"
     ndim: int = 5
     channel_first_io: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -195,7 +240,8 @@ class HNOSegXS(nn.Module):
                            weights_type=self.weights_type,
                            activation=self.activation,
                            use_block_concat=self.use_block_concat,
-                           snn_init=snn, name=f"layers_{i}")(x, skip)
+                           snn_init=snn, use_pallas=self.use_pallas,
+                           name=f"layers_{i}")(x, skip)
             cur_in = self.filters
 
             if self.use_deep_supervision:

@@ -1,0 +1,113 @@
+"""Tracing / profiling utilities.
+
+The reference measures wall-clock time and CUDA allocator peaks
+(``experiments/train_test.py:384-426``). TPU-native equivalents:
+
+  * ``trace(logdir)`` — context manager around ``jax.profiler`` producing
+    XPlane traces viewable in TensorBoard / xprof;
+  * ``device_memory_stats()`` — per-device HBM stats;
+  * ``Timer`` — wall-clock timing with ``block_until_ready`` semantics and
+    warm-up exclusion, matching the reference's measurement protocol;
+  * ``timed_loop_ms`` — robust per-iteration device timing that chains N
+    executions inside one jitted fori_loop and differences two loop
+    lengths, immune to async-dispatch artifacts (see bench.py).
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["trace", "device_memory_stats", "Timer", "timed_loop_ms"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Collect a jax.profiler trace into ``logdir``."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats(device=None) -> Dict[str, float]:
+    """HBM stats in MiB for one device (first local device by default)."""
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    mib = 1024 ** 2
+    return {
+        "bytes_in_use_mib": stats.get("bytes_in_use", 0) / mib,
+        "peak_bytes_in_use_mib": stats.get("peak_bytes_in_use", 0) / mib,
+        "bytes_limit_mib": stats.get("bytes_limit", 0) / mib,
+    }
+
+
+class Timer:
+    """Wall-clock timer with warm-up exclusion (the reference's protocol:
+    first iteration excluded, ``experiments/train_test.py:413-414``)."""
+
+    def __init__(self, skip_first: int = 1):
+        self.skip_first = skip_first
+        self.times: List[float] = []
+        self._seen = 0
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self._seen += 1
+        if self._seen > self.skip_first:
+            self.times.append(dt)
+
+    @property
+    def mean(self) -> float:
+        return float(np.mean(self.times)) if self.times else float("nan")
+
+    @property
+    def median(self) -> float:
+        return float(np.median(self.times)) if self.times else float("nan")
+
+
+def timed_loop_ms(fn: Callable, x, n_short: int = 2, n_long: int = 10,
+                  repeats: int = 3, perturb: bool = True) -> float:
+    """Median per-iteration device time (ms) of ``fn`` on input ``x``.
+
+    Chains iterations inside one jitted ``lax.fori_loop`` with a
+    loop-carried dependency (so XLA cannot hoist the computation) and a
+    scalar readback (so completion is observable even through async/remote
+    PJRT backends), then differences two loop lengths to cancel fixed
+    dispatch overhead.
+    """
+
+    def loop(n, x):
+        def body(_, carry):
+            xc, acc = carry
+            y = fn(xc)
+            s = jnp.sum(jnp.ravel(y)[::4097]) * 1e-12
+            nxt = xc + s.astype(xc.dtype) if perturb else xc
+            return nxt, acc + s.astype(jnp.float32)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
+
+    short = jax.jit(functools.partial(loop, n_short))
+    long = jax.jit(functools.partial(loop, n_long))
+    float(short(x))
+    float(long(x))
+    ts, tl = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(short(x))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long(x))
+        tl.append(time.perf_counter() - t0)
+    return float((np.median(tl) - np.median(ts)) / (n_long - n_short) * 1e3)

@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpreter mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_3d_image_segmentation_tpu import models
+from multimodal_3d_image_segmentation_tpu.kernels import fused_freq_chain
+
+
+def _reference_chain(x, weights):
+    for w in weights:
+        x = jax.nn.selu(jnp.einsum("...i,oi->...o", x, w) + x)
+    return x
+
+
+def test_fused_freq_chain_matches_einsum_chain():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 4, 24)).astype(np.float32))
+    weights = [jnp.asarray(rng.standard_normal((24, 24)).astype(np.float32)
+                           * 0.2) for _ in range(3)]
+    want = np.asarray(_reference_chain(x, weights))
+    got = np.asarray(fused_freq_chain(x, weights, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_freq_chain_row_padding():
+    """Row count not divisible by the tile size."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 5, 7, 3, 16)).astype(np.float32))
+    weights = [jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32)
+                           * 0.2)]
+    want = np.asarray(_reference_chain(x, weights))
+    got = np.asarray(fused_freq_chain(x, weights, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hnosegxs_pallas_path_matches_module_path():
+    """use_pallas=True produces the same params tree and the same outputs
+    as the module path."""
+    kw = dict(in_channels=2, out_channels=3, filters=8,
+              num_transform_blocks=[2, 2], num_modes=(3, 4, 4))
+    m_ref = models.HNOSegXS(**kw, use_pallas=False)
+    m_pal = models.HNOSegXS(**kw, use_pallas=True)
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 2, 16, 16, 12)).astype(np.float32))
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+    p_pal = m_pal.init(jax.random.PRNGKey(0), x)["params"]
+
+    # identical parameter structure (checkpoints interchangeable)
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_pal))
+
+    y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
+    y_pal = np.asarray(m_pal.apply({"params": p_ref}, x))
+    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5)
