@@ -9,9 +9,11 @@ for images and integer label maps.
 The reference resamples through SimpleITK with the transform matrix built
 in (x, y, z) coordinates and offset-centered at size/2 + 0.5; ITK's
 resampler evaluates input_index = A @ output_index + t on the identity-
-spacing grid. ``scipy.ndimage.affine_transform`` implements exactly that
-index mapping, so we permute the (x, y, z) matrix into the array's
-(z, y, x) index order and resample each channel — no ITK dependency.
+spacing grid, rounds half-up, and treats continuous indices in
+[-0.5, size - 0.5) as inside. We permute the (x, y, z) matrix into the
+array's (z, y, x) index order and resample each channel with exactly those
+semantics — multithreaded C++ (native/m3seg_native.cpp) when available,
+identical numpy gather otherwise. No ITK dependency.
 
 The random draw order matches the reference exactly (binomial gate,
 rotation, shift, zoom, flips), so a given seed produces the same
@@ -22,7 +24,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-import scipy.ndimage
+
 
 __all__ = ["ImageTransform", "apply_transform", "flip_axis",
            "transform_matrix_offset_center"]
@@ -55,9 +57,29 @@ def apply_transform(x: np.ndarray, transform_matrix: np.ndarray,
     a = a_xyz[np.ix_(perm, perm)]
     t = t_xyz[perm]
 
-    out = [scipy.ndimage.affine_transform(
-        ch, a, offset=t, order=0, mode="constant", cval=cval,
-        output=ch.dtype) for ch in x]
+    # native C++/OpenMP resampler when available (identical rounding)
+    from . import native
+    if x.dtype == np.float32 and native.available():
+        out = [native.affine_nn(ch, a, t, cval) for ch in x]
+        if all(o is not None for o in out):
+            return np.stack(out)
+
+    # numpy fallback with the same ITK-convention rounding
+    shape = x.shape[1:]
+    idx = np.indices(shape).reshape(nd, -1)
+    src = a @ idx + t[:, None]
+    si = np.floor(src + 0.5).astype(np.int64)
+    inside = np.ones(si.shape[1], dtype=bool)
+    for d in range(nd):
+        inside &= (si[d] >= 0) & (si[d] < shape[d])
+    si_cl = np.minimum(np.maximum(si, 0),
+                       np.array(shape)[:, None] - 1)
+    flat = np.ravel_multi_index(tuple(si_cl), shape)
+    out = []
+    for ch in x:
+        vals = ch.reshape(-1)[flat]
+        vals = np.where(inside, vals, np.asarray(cval, ch.dtype))
+        out.append(vals.reshape(shape).astype(ch.dtype))
     return np.stack(out)
 
 

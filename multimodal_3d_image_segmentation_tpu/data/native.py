@@ -1,0 +1,111 @@
+"""ctypes bindings for the native (C++/OpenMP) data-plane kernels.
+
+Loads ``native/libm3seg_native.so``; builds it on demand with g++ if
+missing. All callers fall back to the pure-Python implementations when the
+library is unavailable (set ``M3SEG_NATIVE=0`` to force the fallback).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["get_lib", "affine_nn", "zscore_masked", "available"]
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libm3seg_native.so")
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "m3seg_native.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-fopenmp", "-shared", "-o", _SO_PATH,
+             src],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("M3SEG_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    lib.affine_nn_3d.argtypes = [c_float_p, c_float_p, ctypes.c_int64,
+                                 ctypes.c_int64, ctypes.c_int64, c_double_p,
+                                 c_double_p, ctypes.c_float]
+    lib.affine_nn_2d.argtypes = [c_float_p, c_float_p, ctypes.c_int64,
+                                 ctypes.c_int64, c_double_p, c_double_p,
+                                 ctypes.c_float]
+    lib.zscore_masked.argtypes = [c_float_p, ctypes.c_int64, ctypes.c_float,
+                                  ctypes.c_int]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def affine_nn(channel: np.ndarray, a: np.ndarray, t: np.ndarray,
+              cval: float) -> Optional[np.ndarray]:
+    """Nearest-neighbor affine resample of one channel (2D or 3D array in
+    index coordinates); returns None if the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(channel, dtype=np.float32)
+    out = np.empty_like(x)
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    t = np.ascontiguousarray(t, dtype=np.float64)
+    if x.ndim == 3:
+        lib.affine_nn_3d(_fptr(x), _fptr(out), *map(ctypes.c_int64, x.shape),
+                         _dptr(a), _dptr(t), ctypes.c_float(cval))
+    elif x.ndim == 2:
+        lib.affine_nn_2d(_fptr(x), _fptr(out), *map(ctypes.c_int64, x.shape),
+                         _dptr(a), _dptr(t), ctypes.c_float(cval))
+    else:
+        return None
+    return out
+
+
+def zscore_masked(data: np.ndarray, mask_val=None) -> Optional[np.ndarray]:
+    """In-place masked z-score; returns None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(data, dtype=np.float32)
+    lib.zscore_masked(_fptr(x), ctypes.c_int64(x.size),
+                      ctypes.c_float(0.0 if mask_val is None else mask_val),
+                      ctypes.c_int(0 if mask_val is None else 1))
+    return x

@@ -19,6 +19,13 @@ def normalize_data(data, mask_val=None, clip_val: Optional[Tuple] = None
     data = np.asarray(data, dtype=np.float32)
     if clip_val is not None:
         data = np.clip(data, *clip_val)
+
+    from . import native
+    out = native.zscore_masked(data.copy(), mask_val) \
+        if native.available() else None
+    if out is not None:
+        return out
+
     if mask_val is not None:
         mask = data == mask_val
         sel = data[~mask]
