@@ -18,8 +18,16 @@ __all__ = ["get_config", "save_config"]
 
 
 def get_config(config_file, source=None):
-    """Parse a config file (path or StringIO) into {section: {key: val}}."""
-    config = ConfigParser(interpolation=ExtendedInterpolation())
+    """Parse a config file (path or StringIO) into {section: {key: val}}.
+
+    Inline ``#`` comments are stripped at parse time. (The reference relies
+    on ``ast.literal_eval`` ignoring trailing comments, which corrupts
+    values that are *interpolated* into other values — e.g. a commented
+    ``list_dir`` used via ``${list_dir}`` swallows the rest of the line.
+    Stripping at parse time keeps both cases correct.)
+    """
+    config = ConfigParser(interpolation=ExtendedInterpolation(),
+                          inline_comment_prefixes=("#",))
     if isinstance(config_file, StringIO):
         config.read_file(config_file, source)
     else:

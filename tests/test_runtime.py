@@ -1,0 +1,133 @@
+"""Runtime unit tests: schedules vs torch, optimizers, checkpoints,
+config parsing."""
+import os
+from io import StringIO
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_3d_image_segmentation_tpu import losses, models
+from multimodal_3d_image_segmentation_tpu.runtime import (
+    build_optimizer, build_schedule, create_train_state, make_train_step)
+from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+    load_checkpoint, load_params, save_checkpoint, save_params)
+from multimodal_3d_image_segmentation_tpu.runtime.config import (get_config,
+                                                                 save_config)
+from multimodal_3d_image_segmentation_tpu.utils.labels import (remap_labels,
+                                                               to_categorical)
+
+
+def test_cosine_warm_restarts_matches_torch():
+    torch = pytest.importorskip("torch")
+    base_lr, eta_min, t0 = 5e-3, 1e-3, 17
+    sched = build_schedule(
+        {"scheduler_name": "CosineAnnealingWarmRestarts", "T_0": t0,
+         "eta_min": eta_min}, base_lr, steps_per_epoch=1, num_epochs=1)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adamax([p], lr=base_lr)
+    ref = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, eta_min=eta_min)
+    for step in range(3 * t0):
+        np.testing.assert_allclose(float(sched(step)), ref.get_last_lr()[0],
+                                   rtol=1e-6)
+        ref.step()
+
+
+def test_schedule_default_t0_is_full_run():
+    sched = build_schedule(
+        {"scheduler_name": "CosineAnnealingWarmRestarts", "eta_min": 0.1},
+        1.0, steps_per_epoch=7, num_epochs=10)
+    # single ramp over 70 steps: monotone decreasing
+    vals = [float(sched(s)) for s in range(70)]
+    assert vals[0] == pytest.approx(1.0)
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[-1] > 0.1  # never quite reaches eta_min before restart
+
+
+def test_optimizer_registry():
+    for name in ["Adamax", "Adam", "AdamW", "SGD", "RMSprop"]:
+        tx = build_optimizer({"optimizer_name": name, "lr": 1e-3})
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        updates, _ = tx.update(grads, state, params)
+        assert jnp.all(jnp.isfinite(updates["w"]))
+    with pytest.raises(ValueError):
+        build_optimizer({"optimizer_name": "Nope"})
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = models.HNOSegXS(2, 3, 8, [2], (3, 3, 3))
+    x = jnp.zeros((1, 2, 12, 12, 8))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    state = create_train_state(model, params, tx)
+
+    step = make_train_step(losses.pcc_loss, num_labels=3, donate=False)
+    y = jnp.zeros((1, 1, 12, 12, 8), jnp.int32)
+    state, _ = step(state, jnp.ones_like(x), y)
+
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, state, epoch=5, min_loss=0.25, best_epoch=3)
+
+    fresh = create_train_state(model, params, tx)
+    restored, epoch, min_loss, best_epoch = load_checkpoint(path, fresh)
+    assert (epoch, min_loss, best_epoch) == (5, 0.25, 3)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed training step must be identical to continuing the original
+    s1, l1 = step(state, jnp.ones_like(x), y)
+    s2, l2 = step(restored, jnp.ones_like(x), y)
+    np.testing.assert_allclose(float(l1), float(l2))
+
+    # weights-only export
+    wpath = str(tmp_path / "model.msgpack")
+    save_params(wpath, state.params)
+    p2 = load_params(wpath, params)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config_dialect_matches_reference_files():
+    """Our parser reads the shipped configs (same dialect as reference)."""
+    cfg = get_config("configs/config_hnoseg_xs.ini")
+    assert cfg["model"]["model_name"] == "HNOSegXS"
+    assert cfg["model"]["num_modes"] == (10, 14, 14)
+    assert cfg["model"]["num_transform_blocks"] == [3] * 8
+    assert cfg["optimizer"]["lr"] == 5e-3
+    assert cfg["statistics"]["region_labels"][1] == [1, 2, 3]
+    # interpolation resolved
+    assert cfg["input_lists"]["data_lists_train_paths"][0].endswith(
+        "t1c_train-0.6.txt")
+
+
+def test_save_config_snapshot(tmp_path):
+    cfg = get_config("configs/config_hnoseg_xs.ini")
+    save_config(cfg, str(tmp_path))
+    assert os.path.exists(tmp_path / "config_hnoseg_xs.ini")
+    reparsed = get_config(str(tmp_path / "config_hnoseg_xs.ini"))
+    assert reparsed["model"]["num_modes"] == (10, 14, 14)
+
+
+def test_to_categorical_and_remap():
+    y = jnp.asarray(np.array([[[[0, 1], [2, 1]]]]))  # (1, 1, 2, 2)
+    oh = to_categorical(y, 3)
+    assert oh.shape == (1, 3, 2, 2)
+    np.testing.assert_allclose(np.asarray(oh.sum(axis=1)), 1.0)
+    np.testing.assert_allclose(np.asarray(oh[0, 2, 1, 0]), 1.0)
+
+    remapped = remap_labels(y, {1: 4, 4: 1})
+    assert int(remapped[0, 0, 0, 1]) == 4
+    # numpy path
+    out = remap_labels(np.asarray(y), {2: 9})
+    assert out[0, 0, 1, 0] == 9
