@@ -198,6 +198,7 @@ class HNOSegXS(nn.Module):
     ndim: int = 5
     channel_first_io: bool = True
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -205,6 +206,10 @@ class HNOSegXS(nn.Module):
         if self.channel_first_io:
             nd = x.ndim
             x = x.transpose((0,) + tuple(range(2, nd)) + (1,))
+        # Mixed precision: activations in compute_dtype (params stay fp32,
+        # MXU accumulates fp32); softmax and outputs return to fp32.
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
 
         snn = is_selu(self.activation)
         ntb = self.num_transform_blocks
@@ -262,6 +267,7 @@ class HNOSegXS(nn.Module):
         if self.use_resize:
             x = resize_linear(x, image_size)
         x = spatial_padcrop(x, image_size)
+        x = x.astype(in_dtype)
 
         if self.output_activation == "softmax":
             x = jax.nn.softmax(x, axis=-1)

@@ -30,7 +30,8 @@ import numpy as np
 
 from . import initializers as inits
 from .activations import get_activation
-from .spectral import dht_crop, dht_pad_inverse, normalize_modes, spatial_axes
+from .spectral import (_prec, dht_crop, dht_pad_inverse, normalize_modes,
+                       spatial_axes)
 
 __all__ = ["HartleyMultiHeadAttention"]
 
@@ -98,7 +99,7 @@ class HartleyMultiHeadAttention(nn.Module):
     use_bias: bool = False
     use_transform: bool = True
     snn_init: bool = False
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    precision: Optional[jax.lax.Precision] = None
 
     @nn.compact
     def __call__(self, inputs):
@@ -148,6 +149,9 @@ class HartleyMultiHeadAttention(nn.Module):
                                          (self.num_heads, value_dim))
             biases["out"] = self.param("bias_out", b_init, (value_dim,))
 
+        prec = (self.precision if self.precision is not None
+                else _prec(q_in.dtype))
+
         if self.use_transform:
             sizes = q_in.shape[1:-1]
             assert all(s >= 2 * m for s, m in zip(sizes, modes)), (
@@ -162,7 +166,7 @@ class HartleyMultiHeadAttention(nn.Module):
         # Per-head spectral projections: (B, *sp, I) -> (B, *sp, Z, O)
         def freq_conv(w, x):
             return jnp.einsum("...i,zoi->...zo", x, w.astype(x.dtype),
-                              precision=self.precision)
+                              precision=prec)
 
         query = freq_conv(w_query, query)
         key = freq_conv(w_key, key)
@@ -187,13 +191,13 @@ class HartleyMultiHeadAttention(nn.Module):
 
         q, k, v = flat(query), flat(key), flat(value)
 
-        att = jnp.einsum("bqzc,bkzc->bzqk", q, k, precision=self.precision)
+        att = jnp.einsum("bqzc,bkzc->bzqk", q, k, precision=prec)
         att = att / math.sqrt(k.shape[-1])
         act = get_activation(self.attention_activation)
         if act is not None:
             att = act(att)
 
-        out = jnp.einsum("bzqk,bkzc->bqzc", att, v, precision=self.precision)
+        out = jnp.einsum("bzqk,bkzc->bqzc", att, v, precision=prec)
         out = out.reshape((out.shape[0],) + sp_freq
                           + (z, out.shape[-1]))
 
@@ -203,7 +207,7 @@ class HartleyMultiHeadAttention(nn.Module):
         # Merge heads (z slowest) and apply the output projection.
         out = out.reshape(out.shape[:-2] + (z * value_dim,))
         out = jnp.einsum("...i,oi->...o", out, w_out.astype(out.dtype),
-                         precision=self.precision)
+                         precision=prec)
         if self.use_bias:
             out = out + biases["out"].astype(out.dtype)
 

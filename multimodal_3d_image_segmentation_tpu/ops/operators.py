@@ -36,7 +36,7 @@ import numpy as np
 
 from . import initializers as inits
 from . import spectral
-from .spectral import (clip_modes, dht_crop, dht_pad_inverse,
+from .spectral import (_prec, clip_modes, dht_crop, dht_pad_inverse,
                        extended_reverse, extended_to_packed, normalize_modes,
                        packed_reverse, rfft_crop, rfft_pad_inverse,
                        spatial_axes)
@@ -86,7 +86,7 @@ class HartleyOperator(nn.Module):
     weights_type: str = "shared"
     use_transform: bool = True
     snn_init: bool = False
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    precision: Optional[jax.lax.Precision] = None
 
     def _params(self, nd: int):
         _check_weights_type(self.weights_type)
@@ -106,6 +106,9 @@ class HartleyOperator(nn.Module):
             b_init = inits.snn_bias() if self.snn_init else inits.zeros_init()
             bias = self.param("bias", b_init, (self.out_channels,))
         return weight, bias
+
+    def _precision(self, dtype):
+        return self.precision if self.precision is not None else _prec(dtype)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -130,7 +133,7 @@ class HartleyOperator(nn.Module):
         if self.weights_type == "shared":
             xp = dht_crop(x, modes)
             y = jnp.einsum(_EINSUM_SHARED, xp, weight,
-                           precision=self.precision)
+                           precision=self._precision(x.dtype))
         else:
             # Extended kept set (2m+1 per axis) makes the true frequency
             # reversal k -> N-k an exact permutation (parity with
@@ -141,7 +144,7 @@ class HartleyOperator(nn.Module):
             w_axes = tuple(range(2, 2 + nd))
             w_rev = packed_reverse(weight, w_axes)
             y = _hartley_conv(_einsum_individual(nd), weight, w_rev, xp, xr,
-                              self.precision)
+                              self._precision(x.dtype))
 
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -165,7 +168,7 @@ class HartleyOperator(nn.Module):
     def _call_notransform(self, x, weight, bias, nd, axes):
         if self.weights_type == "shared":
             y = jnp.einsum(_EINSUM_SHARED, x, weight,
-                           precision=self.precision)
+                           precision=self._precision(x.dtype))
         else:
             # NOTE: reverse after cropping differs from the true reversal at
             # the highest negative frequency per axis — reproduced for
@@ -174,7 +177,7 @@ class HartleyOperator(nn.Module):
             w_axes = tuple(range(2, 2 + nd))
             w_rev = packed_reverse(weight, w_axes)
             y = _hartley_conv(_einsum_individual(nd), weight, w_rev, x, x_rev,
-                              self.precision)
+                              self._precision(x.dtype))
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -197,7 +200,7 @@ class FourierOperator(nn.Module):
     weights_type: str = "shared"
     use_transform: bool = True
     snn_init: bool = False
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    precision: Optional[jax.lax.Precision] = None
 
     def _params(self, nd: int):
         _check_weights_type(self.weights_type)
@@ -225,7 +228,8 @@ class FourierOperator(nn.Module):
             eq = _EINSUM_SHARED
         else:
             eq = _einsum_individual(nd)
-        p = self.precision
+        p = (self.precision if self.precision is not None
+             else _prec(re.dtype))
         yre = (jnp.einsum(eq, re, wr, precision=p)
                - jnp.einsum(eq, im, wi, precision=p))
         yim = (jnp.einsum(eq, re, wi, precision=p)

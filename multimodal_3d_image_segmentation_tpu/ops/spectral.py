@@ -60,6 +60,14 @@ __all__ = [
 PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _prec(dtype):
+    """With bf16 activations (mixed-precision mode) use native MXU bf16
+    multiplies with fp32 accumulation; fp32 activations get PRECISION."""
+    if dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return PRECISION
+
+
 def spatial_axes(ndim: int) -> Tuple[int, ...]:
     """Spatial axes for channels-last layout (B, *spatial, C)."""
     return tuple(range(1, ndim - 1))
@@ -117,11 +125,6 @@ def _dft_mats_np(n: int, m: int, forward: bool, extended: bool,
     return c, s
 
 
-def _mats(n, m, forward, extended, sign, dtype):
-    c, s = _dft_mats_np(int(n), int(m), forward, extended, int(sign))
-    return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
-
-
 _LETTERS = "abcdefghijklmnop"
 
 
@@ -135,27 +138,76 @@ def _tdot(x, mat, axis):
     subs = _LETTERS[:x.ndim]
     out = subs[:axis] + "z" + subs[axis + 1:]
     eq = f"{subs},{subs[axis]}z->{out}"
-    return jnp.einsum(eq, x, mat, precision=PRECISION)
+    return jnp.einsum(eq, x, mat, precision=_prec(x.dtype))
 
 
-def _complex_chain(re, im, axes_mats):
-    """Apply e^{i*sign*theta} contraction per axis to the complex pair.
+def _cas_chain(x, stages):
+    """Run a pruned separable e^{i theta}-factor transform on a real tensor,
+    carrying the complex pair as one extra tensor axis of size 2 (inserted
+    at position 1) so every stage is a single dot_general.
 
-    ``axes_mats``: list of (axis, C, S, sign) where the per-axis complex
-    factor is (C + i * sign * S_abs); we fold sign into S so the factor is
-    always (C + iS). Multiplication: (re + i im)(C + iS) ->
-    re' = re@C - im@S ; im' = im@C + re@S.
+    ``stages``: ordered (orig_axis, kind, matrix); axes refer to the
+    comp-free layout. kinds:
+      'first'  real -> complex (inserts the comp axis),
+      'mid'    complex -> complex,
+      'fold'   complex -> real (removes the comp axis; the final Re - Im
+               or Hermitian combination is folded into the matrix so no
+               separate subtraction pass touches the big output),
+      'single' real -> real (one-axis transform, fold pre-applied).
     """
-    for ax, c, s in axes_mats:
-        re_c = _tdot(re, c, ax)
-        re_s = _tdot(re, s, ax)
-        if im is None:
-            re, im = re_c, re_s
+    # If the first stage is already complex->*, the caller passed x with
+    # the comp axis pre-inserted at position 1 (e.g. rfft inverse).
+    has_comp = stages[0][1] in ("mid", "fold") if stages else False
+    for orig_axis, kind, mat in stages:
+        ax = orig_axis + (1 if has_comp else 0)
+        subs = _LETTERS[:x.ndim]
+        a = subs[ax]
+        if kind == "first":
+            out = subs[0] + "Q" + subs[1:].replace(a, "K")
+            eq = f"{subs},{a}KQ->{out}"
+            has_comp = True
+        elif kind == "single":
+            eq = f"{subs},{a}K->{subs.replace(a, 'K')}"
         else:
-            im_c = _tdot(im, c, ax)
-            im_s = _tdot(im, s, ax)
-            re, im = re_c - im_s, im_c + re_s
-    return re, im
+            q = subs[1]  # comp axis label
+            if kind == "mid":
+                out = subs.replace(a, "K").replace(q, "P")
+                eq = f"{subs},{a}{q}KP->{out}"
+            else:  # fold
+                out = subs.replace(a, "K").replace(q, "")
+                eq = f"{subs},{a}{q}K->{out}"
+                has_comp = False
+        x = jnp.einsum(eq, x, mat, precision=_prec(x.dtype))
+    return x
+
+
+def _stage_matrix(c, s, kind, dtype, final_weights=None):
+    """Build the stage matrix from (C, S) = (cos, sin-with-sign) parts.
+
+    first:  M[a, k, q]    = (C, S)
+    mid:    M[a, q, k, p] : q=0 -> (C, S); q=1 -> (-S, C)
+            ((re + i im)(C + iS) -> re' = reC - imS ; im' = imC + reS)
+    fold:   M[a, q, k]    : q=0 -> C - S ; q=1 -> -(C + S)
+            (result = re' - im' of the final factor)
+    single: M[a, k]       = C - S
+    fold with final_weights (w0, w1): q=0 -> w0; q=1 -> w1 (e.g. the
+    Hermitian rfft completion).
+    """
+    if kind == "fold" and final_weights is not None:
+        return jnp.asarray(np.stack(final_weights, axis=1), dtype)
+    c = np.asarray(c)
+    s = np.asarray(s)
+    if kind == "first":
+        m = np.stack([c, s], axis=-1)
+    elif kind == "mid":
+        m = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], axis=1)
+    elif kind == "fold":
+        m = np.stack([c - s, -(c + s)], axis=1)
+    elif kind == "single":
+        m = c - s
+    else:
+        raise ValueError(kind)
+    return jnp.asarray(m, dtype)
 
 
 def _axis_order(pairs, forward):
@@ -166,18 +218,25 @@ def _axis_order(pairs, forward):
                   reverse=forward)
 
 
+def _kinds(n_stages: int):
+    if n_stages == 1:
+        return ["single"]
+    return ["first"] + ["mid"] * (n_stages - 2) + ["fold"]
+
+
 def dht_crop(x: jax.Array, modes: Sequence[int],
              axes: Optional[Sequence[int]] = None,
              extended: bool = False) -> jax.Array:
     """Forward DHT (1/N norm) evaluated only at the packed corner modes.
 
     Equivalent to the reference's ``dhtn`` followed by TransformCrop's
-    8-corner crop+concat (``nets/hnosegxs.py:378-410``), in one matmul chain.
+    8-corner crop+concat (``nets/hnosegxs.py:378-410``), in one matmul chain
+    per axis; the final Re - Im is folded into the last stage's matrix.
 
     Args:
-        x: real tensor, channels-last (B, *spatial, C) by default.
+        x: real tensor; ``axes`` defaults to all but first/last
+            (channels-last convention).
         modes: kept modes per transformed axis (already clipped).
-        axes: axes to transform; default all but first/last.
         extended: keep 2m+1 rows per axis (see `_kept_freqs`).
 
     Returns:
@@ -186,15 +245,15 @@ def dht_crop(x: jax.Array, modes: Sequence[int],
     if axes is None:
         axes = spatial_axes(x.ndim)
     dt = x.dtype
+    mdict = dict(zip(axes, modes))
     pairs = [(ax, x.shape[ax], 2 * m) for ax, m in zip(axes, modes)]
     order = _axis_order(pairs, forward=True)
-    mats = []
-    mdict = dict(zip(axes, modes))
-    for ax, n, _ in order:
-        c, s = _mats(n, mdict[ax], True, extended, -1, dt)
-        mats.append((ax, c, s))
-    re, im = _complex_chain(x, None, mats)
-    return re - im
+    stages = []
+    kinds = _kinds(len(order))
+    for (ax, n, _), kind in zip(order, kinds):
+        c, s = _dft_mats_np(int(n), int(mdict[ax]), True, extended, -1)
+        stages.append((ax, kind, _stage_matrix(c, s, kind, dt)))
+    return _cas_chain(x, stages)
 
 
 def dht_pad_inverse(y: jax.Array, sizes: Sequence[int],
@@ -210,17 +269,18 @@ def dht_pad_inverse(y: jax.Array, sizes: Sequence[int],
         axes = spatial_axes(y.ndim)
     dt = y.dtype
     modes = {ax: y.shape[ax] // 2 for ax in axes}
+    ndict = dict(zip(axes, sizes))
     for ax, n in zip(axes, sizes):
         assert n >= 2 * modes[ax], (
             f"target size {n} < 2*modes {2 * modes[ax]} on axis {ax}")
     pairs = [(ax, 2 * modes[ax], n) for ax, n in zip(axes, sizes)]
     order = _axis_order(pairs, forward=False)
-    mats = []
-    for ax, _, n in order:
-        c, s = _mats(n, modes[ax], False, False, -1, dt)
-        mats.append((ax, c, s))
-    re, im = _complex_chain(y, None, mats)
-    return re - im
+    stages = []
+    kinds = _kinds(len(order))
+    for (ax, _, _), kind in zip(order, kinds):
+        c, s = _dft_mats_np(int(ndict[ax]), int(modes[ax]), False, False, -1)
+        stages.append((ax, kind, _stage_matrix(c, s, kind, dt)))
+    return _cas_chain(y, stages)
 
 
 def rfft_crop(x: jax.Array, modes: Sequence[int],
@@ -245,16 +305,19 @@ def rfft_crop(x: jax.Array, modes: Sequence[int],
         if ax == last:
             ks = np.arange(m)
             theta = 2.0 * np.pi * np.outer(np.arange(n), ks) / n
-            c = jnp.asarray(np.cos(theta) / n, dt)
-            s = jnp.asarray(np.sin(-theta) / n, dt)
+            c = np.cos(theta) / n
+            s = np.sin(-theta) / n
             pairs.append((ax, n, m, c, s))
         else:
-            c, s = _mats(n, m, True, False, -1, dt)
+            c, s = _dft_mats_np(int(n), int(m), True, False, -1)
             pairs.append((ax, n, 2 * m, c, s))
     order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=True)
-    mats = [(ax, c, s) for ax, _, _, c, s in order]
-    re, im = _complex_chain(x, None, mats)
-    return re, im
+    stages = []
+    for i, (ax, _, _, c, s) in enumerate(order):
+        kind = "first" if i == 0 else "mid"
+        stages.append((ax, kind, _stage_matrix(c, s, kind, dt)))
+    out = _cas_chain(x, stages)  # comp axis at position 1
+    return out[:, 0], out[:, 1]
 
 
 def rfft_pad_inverse(re: jax.Array, im: jax.Array, sizes: Sequence[int],
@@ -270,29 +333,35 @@ def rfft_pad_inverse(re: jax.Array, im: jax.Array, sizes: Sequence[int],
         axes = spatial_axes(re.ndim)
     dt = re.dtype
     last = axes[-1]
+
+    x = jnp.stack([re, im], axis=1)  # comp axis at position 1
+
     pairs = []
     for ax, n in zip(axes, sizes):
         if ax == last:
             continue
         m = re.shape[ax] // 2
         assert n >= 2 * m
-        c, s = _mats(n, m, False, False, +1, dt)
+        c, s = _dft_mats_np(int(n), int(m), False, False, +1)
         pairs.append((ax, 2 * m, n, c, s))
     order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=False)
-    mats = [(ax, c, s) for ax, _, _, c, s in order]
-    re, im = _complex_chain(re, im, mats)
+    stages = [(ax, "mid", _stage_matrix(c, s, "mid", dt))
+              for ax, _, _, c, s in order]
 
-    # Hermitian last axis: x_j = sum_k w_k * Re(Z_k e^{+i theta}), w_0 = 1,
-    # w_{k>0} = 2 (conjugate-symmetric completion).
+    # Hermitian last axis (must run after the others): folded stage with
+    # x_j = sum_k w_k * Re(Z_k e^{+i theta}), w_0 = 1, w_{k>0} = 2.
     n = [sz for ax, sz in zip(axes, sizes) if ax == last][0]
     m = re.shape[last]
     assert n >= 2 * m
     ks = np.arange(m)
     w = np.where(ks == 0, 1.0, 2.0)
     theta = 2.0 * np.pi * np.outer(ks, np.arange(n)) / n
-    a = jnp.asarray(w[:, None] * np.cos(theta), dt)
-    b = jnp.asarray(w[:, None] * np.sin(theta), dt)
-    return _tdot(re, a, last) - _tdot(im, b, last)
+    a = w[:, None] * np.cos(theta)
+    b = w[:, None] * np.sin(theta)
+    stages.append((last, "fold",
+                   _stage_matrix(None, None, "fold", dt,
+                                 final_weights=(a, -b))))
+    return _cas_chain(x, stages)
 
 
 def dht_full(x: jax.Array, axes: Optional[Sequence[int]] = None,
