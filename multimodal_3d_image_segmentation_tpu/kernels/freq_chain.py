@@ -32,12 +32,23 @@ __all__ = ["fused_freq_chain"]
 _TILE = 512
 
 
+_SELU_SCALE = 1.0507009873554804934193349852946
+_SELU_ALPHA = 1.6732632423543772848170429916717
+
+
+def _selu(x):
+    """SELU via exp (Mosaic has no expm1 lowering)."""
+    safe = jnp.where(x > 0, 0.0, x)  # avoid exp overflow on the + branch
+    return _SELU_SCALE * jnp.where(
+        x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
+
+
 def _kernel(x_ref, w_ref, o_ref):
     acc = x_ref[:]
     n_chain = w_ref.shape[0]
     for k in range(n_chain):  # static unroll: n_XS is small (typically 3)
         h = jnp.dot(acc, w_ref[k], preferred_element_type=jnp.float32)
-        acc = jax.nn.selu(h + acc)
+        acc = _selu((h + acc).astype(jnp.float32)).astype(acc.dtype)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

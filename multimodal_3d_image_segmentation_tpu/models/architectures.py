@@ -151,6 +151,8 @@ class _TransSegBase(nn.Module):
 
     def _tower(self, x, make_block):
         snn = is_selu(self.activation)
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
         image_size = x.shape[1:-1]
         tensors = []
 
@@ -185,6 +187,7 @@ class _TransSegBase(nn.Module):
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
         x = spatial_padcrop(x, image_size)
+        x = x.astype(in_dtype)
         return _apply_output_activation(x, self.output_activation)
 
 
@@ -207,6 +210,7 @@ class NeuralOperatorSeg(_TransSegBase):
     output_activation: Union[str, Callable, None] = "softmax"
     ndim: int = 5
     channel_first_io: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -249,6 +253,7 @@ class HartleyMHASeg(_TransSegBase):
     output_activation: Union[str, Callable, None] = "softmax"
     ndim: int = 5
     channel_first_io: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -294,6 +299,7 @@ class VNetDS(nn.Module):
     use_residual: bool = True
     ndim: int = 5
     channel_first_io: bool = True
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -301,6 +307,8 @@ class VNetDS(nn.Module):
         assert isinstance(self.num_blocks, (list, tuple))
         if self.channel_first_io:
             x = _to_channels_last(x)
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
 
         right_leg_indexes = self.right_leg_indexes
         if right_leg_indexes is None:
@@ -379,6 +387,7 @@ class VNetDS(nn.Module):
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
         x = spatial_padcrop(x, image_size)
+        x = x.astype(in_dtype)
         x = _apply_output_activation(x, self.output_activation)
 
         if self.channel_first_io:
