@@ -81,3 +81,18 @@ def test_single_volume_spatial_sharding_inference():
     ps = jax.device_put(params, replicated(mesh))
     got = np.asarray(fwd(ps, xs))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_multihost_helpers_single_process():
+    from multimodal_3d_image_segmentation_tpu.parallel import multihost
+    assert not multihost.is_multihost()
+    assert multihost.process_count() == 1
+    items = list(range(10))
+    assert multihost.shard_list_for_process(items, 0, 2) == [0, 2, 4, 6, 8]
+    assert multihost.shard_list_for_process(items, 1, 2) == [1, 3, 5, 7, 9]
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    local = np.ones((8, 3), np.float32)
+    ga = multihost.global_batch(mesh, local)
+    assert ga.shape == (8, 3)
+    np.testing.assert_allclose(np.asarray(ga), local)
