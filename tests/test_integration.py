@@ -213,3 +213,32 @@ def test_zero_shot_super_resolution_pipeline(tmp_path):
     run(cfg2)
     pred = read_image(os.path.join(out, "test/images/case0_pred.nii.gz"))
     assert pred.array.shape == (20, 24, 16)
+
+
+def test_inference_cli(tmp_path):
+    """Dedicated inference entry point (TF-tree parity: zero-shot SR CLI)."""
+    from multimodal_3d_image_segmentation_tpu.runtime.inference import (
+        run_inference)
+
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=3)
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()}, "tr")
+    valid = _write_lists(tmp_path, {k: v[2:] for k, v in lists.items()}, "va")
+    out = str(tmp_path / "exp")
+
+    cfg = _config(tmp_path, out, train, valid, valid, num_epochs=1,
+                  is_test=False, is_statistics=False)
+    run(cfg)
+
+    # double-resolution inference via the dedicated CLI
+    hi_root = tmp_path / "hi"
+    os.makedirs(hi_root)
+    hi = _make_dataset(hi_root, n=2, shape=(24, 28, 20), seed=9)
+    hi_test = _write_lists(tmp_path, hi, "hite")
+    cfg2 = _config(tmp_path, out, train, valid, hi_test, is_train=False,
+                   is_test=True, is_statistics=False)
+    run_inference(cfg2)
+    # [test] output_folder in the shared test config is 'test'
+    pred = read_image(os.path.join(out, "test/images/case0_pred.nii.gz"))
+    assert pred.array.shape == (24, 28, 20)

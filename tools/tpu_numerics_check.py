@@ -1,0 +1,72 @@
+"""On-device numerics validation: TPU forward pass vs CPU (fp64-backed
+fp32) reference for every model family.
+
+Run on the TPU host: compares probability outputs and argmax agreement so
+precision regressions on real hardware are caught (the pytest suite runs on
+CPU only).
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_3d_image_segmentation_tpu import models
+
+
+def check(name, model, shape, seed=0, bf16_model=None):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape).astype(np.float32)
+
+    cpus = jax.devices("cpu")
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    with jax.default_device(cpus[0]):
+        want = np.asarray(jax.jit(
+            lambda p, v: model.apply({"params": p}, v))(params, x))
+    y_tpu = np.asarray(jax.jit(
+        lambda p, v: model.apply({"params": p}, v))(
+        jax.device_put(params, tpus[0]), jax.device_put(jnp.asarray(x),
+                                                        tpus[0])))
+    err = np.abs(y_tpu - want).max()
+    agree = (y_tpu.argmax(1) == want.argmax(1)).mean()
+    print(f"{name:42s} max|dp|={err:.2e}  argmax agree={agree:.5f}")
+
+    if bf16_model is not None:
+        yb = np.asarray(jax.jit(
+            lambda p, v: bf16_model.apply({"params": p}, v))(
+            jax.device_put(params, tpus[0]),
+            jax.device_put(jnp.asarray(x), tpus[0])))
+        err = np.abs(yb - want).max()
+        agree = (yb.argmax(1) == want.argmax(1)).mean()
+        print(f"{name + ' [bf16]':42s} max|dp|={err:.2e}  "
+              f"argmax agree={agree:.5f}")
+
+
+def main():
+    kw = dict(in_channels=4, out_channels=4, filters=24,
+              num_transform_blocks=[3] * 8, num_modes=(10, 14, 14))
+    check("HNOSegXS (flagship, 120x120x78)",
+          models.HNOSegXS(**kw), (1, 4, 120, 120, 78),
+          bf16_model=models.HNOSegXS(**kw, compute_dtype="bfloat16"))
+    check("HNOSegXS pallas", models.HNOSegXS(**kw, use_pallas=True),
+          (1, 4, 120, 120, 78))
+
+    check("NeuralOperatorSeg Fourier",
+          models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), "Fourier"),
+          (1, 4, 64, 64, 40))
+    check("NeuralOperatorSeg Hartley",
+          models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), "Hartley"),
+          (1, 4, 64, 64, 40))
+    check("HartleyMHASeg",
+          models.HartleyMHASeg(4, 4, 12, 2, 2, (8, 8, 8), 2),
+          (1, 4, 64, 64, 64))
+    check("VNetDS",
+          models.VNetDS(4, 4, 8, [1, 2, 2], right_leg_indexes=[0, 1, 2]),
+          (1, 4, 64, 64, 40))
+
+
+if __name__ == "__main__":
+    main()
