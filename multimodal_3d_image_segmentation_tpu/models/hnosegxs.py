@@ -199,6 +199,7 @@ class HNOSegXS(nn.Module):
     channel_first_io: bool = True
     use_pallas: bool = False
     compute_dtype: str = "float32"
+    use_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -232,6 +233,10 @@ class HNOSegXS(nn.Module):
         if self.use_deep_supervision:
             ds_tensors.append(x)
 
+        # Rematerialization trades FLOPs for activation memory when
+        # training at full resolution (jax.checkpoint per block).
+        block_cls = nn.remat(HNOXSBlock) if self.use_remat else HNOXSBlock
+
         cur_in = self.filters
         for i, num_convs in enumerate(ntb):
             # Decoding: always exclude i == num_blocks // 2 (median /
@@ -241,7 +246,7 @@ class HNOSegXS(nn.Module):
                 skip = encode_tensors[num_blocks - 1 - i]
                 cur_in = cur_in + skip.shape[-1]
 
-            x = HNOXSBlock(num_convs, cur_in, self.filters, self.num_modes,
+            x = block_cls(num_convs, cur_in, self.filters, self.num_modes,
                            weights_type=self.weights_type,
                            activation=self.activation,
                            use_block_concat=self.use_block_concat,

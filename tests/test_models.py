@@ -102,3 +102,28 @@ def test_models_2d():
     params = model.init(jax.random.PRNGKey(6), x)
     y = model.apply(params, x)
     assert y.shape == (2, 2, 24, 20)
+
+
+def test_hnosegxs_remat_matches():
+    """use_remat trades memory for FLOPs without changing values/grads."""
+    from multimodal_3d_image_segmentation_tpu import losses
+    kw = dict(in_channels=2, out_channels=3, filters=8,
+              num_transform_blocks=[2, 2], num_modes=(3, 4, 4))
+    m0 = models.HNOSegXS(**kw)
+    m1 = models.HNOSegXS(**kw, use_remat=True)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (1, 2, 16, 16, 12)).astype(np.float32))
+    y = jnp.asarray((np.random.default_rng(8).integers(
+        0, 3, (1, 16, 16, 12))))
+    y1h = jax.nn.one_hot(y, 3, axis=1)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(m):
+        return lambda p: losses.pcc_loss(m.apply({"params": p}, x), y1h)
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
