@@ -46,8 +46,14 @@ def _selu(x):
 def _kernel(x_ref, w_ref, o_ref):
     acc = x_ref[:]
     n_chain = w_ref.shape[0]
+    # fp32 inputs get full-precision matmuls (multi-pass on the MXU) so the
+    # kernel is numerically interchangeable with the HIGHEST-precision
+    # einsum path; bf16 inputs use native single-pass MXU.
+    prec = (jax.lax.Precision.HIGHEST if acc.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     for k in range(n_chain):  # static unroll: n_XS is small (typically 3)
-        h = jnp.dot(acc, w_ref[k], preferred_element_type=jnp.float32)
+        h = jnp.dot(acc, w_ref[k], preferred_element_type=jnp.float32,
+                    precision=prec)
         acc = _selu((h + acc).astype(jnp.float32)).astype(acc.dtype)
     o_ref[:] = acc.astype(o_ref.dtype)
 
