@@ -56,9 +56,12 @@ def _measure(fn, x):
 def main():
     from multimodal_3d_image_segmentation_tpu import models
 
+    # fp32 throughout (accuracy-safe default; bfloat16 compute_dtype gives
+    # a further ~1.8x) with the fused Pallas frequency chain.
     model = models.HNOSegXS(
         in_channels=4, out_channels=4, filters=24,
-        num_transform_blocks=[3] * 8, num_modes=(10, 14, 14))
+        num_transform_blocks=[3] * 8, num_modes=(10, 14, 14),
+        use_pallas=True)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
