@@ -45,11 +45,24 @@ def _to_channel_first(x):
     return x.transpose((0, x.ndim - 1) + tuple(range(1, x.ndim - 1)))
 
 
-def _apply_output_activation(x, output_activation):
+def _apply_output_activation(x, output_activation, axis=-1):
     if output_activation == "softmax":
-        return jax.nn.softmax(x, axis=-1)
+        return jax.nn.softmax(x, axis=axis)
     act = get_activation(output_activation)
     return act(x) if act is not None else x
+
+
+def _channel_first_tail(x, image_size, use_resize, in_dtype,
+                        output_activation):
+    """Shared output tail: transpose channel-first while small, upsample,
+    pad/crop, softmax over axis 1 (see hnosegxs.py for rationale —
+    few-channel channels-last gathers pay heavy lane padding on TPU)."""
+    x = _to_channel_first(x)
+    if use_resize:
+        x = resize_linear(x, image_size, channel_first=True)
+    x = spatial_padcrop(x, image_size, channel_first=True)
+    x = x.astype(in_dtype)
+    return _apply_output_activation(x, output_activation, axis=1)
 
 
 class _TransBlockMixin:
@@ -181,14 +194,13 @@ class _TransSegBase(nn.Module):
                                   activation=self.activation, use_snn=snn,
                                   name="conv_ds")(tuple(tensors))
 
-        if self.use_resize:
-            x = resize_linear(x, image_size)
-
+        # conv_out (1x1, linear) commutes with the per-channel linear
+        # resize; apply it at the small grid, then run the tail
+        # channel-first (output is channel-first anyway).
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
-        x = spatial_padcrop(x, image_size)
-        x = x.astype(in_dtype)
-        return _apply_output_activation(x, self.output_activation)
+        return _channel_first_tail(x, image_size, self.use_resize, in_dtype,
+                                   self.output_activation)
 
 
 class NeuralOperatorSeg(_TransSegBase):
@@ -227,9 +239,9 @@ class NeuralOperatorSeg(_TransSegBase):
                 use_block_skip=self.use_block_skip,
                 use_block_concat=self.use_block_concat, name=f"layers_{i}")
 
-        x = self._tower(x, make_block)
-        if self.channel_first_io:
-            x = _to_channel_first(x)
+        x = self._tower(x, make_block)  # returns channel-first
+        if not self.channel_first_io:
+            x = _to_channels_last(x)
         return x
 
 
@@ -271,9 +283,9 @@ class HartleyMHASeg(_TransSegBase):
                 use_block_skip=self.use_block_skip,
                 use_block_concat=self.use_block_concat, name=f"layers_{i}")
 
-        x = self._tower(x, make_block)
-        if self.channel_first_io:
-            x = _to_channel_first(x)
+        x = self._tower(x, make_block)  # returns channel-first
+        if not self.channel_first_io:
+            x = _to_channels_last(x)
         return x
 
 
@@ -381,15 +393,10 @@ class VNetDS(nn.Module):
                                   use_snn=self.use_snn,
                                   name="conv_ds")(tuple(ups))
 
-        if self.use_resize:
-            x = resize_linear(x, image_size)
-
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
-        x = spatial_padcrop(x, image_size)
-        x = x.astype(in_dtype)
-        x = _apply_output_activation(x, self.output_activation)
-
-        if self.channel_first_io:
-            x = _to_channel_first(x)
+        x = _channel_first_tail(x, image_size, self.use_resize, in_dtype,
+                                self.output_activation)
+        if not self.channel_first_io:
+            x = _to_channels_last(x)
         return x

@@ -269,19 +269,24 @@ class HNOSegXS(nn.Module):
                                 snn_init=snn, name="conv_out")(
             tuple(ds_tensors) if ds_tensors else x)
 
+        # Go channel-first while the tensor is still small: the upsample
+        # gathers then run with a large minor dim (the few-channel
+        # channels-last gather pays ~32x lane padding on TPU), and the
+        # channel-first output needs no final transpose.
+        nd = x.ndim
+        x = x.transpose((0, nd - 1) + tuple(range(1, nd - 1)))
         if self.use_resize:
-            x = resize_linear(x, image_size)
-        x = spatial_padcrop(x, image_size)
+            x = resize_linear(x, image_size, channel_first=True)
+        x = spatial_padcrop(x, image_size, channel_first=True)
         x = x.astype(in_dtype)
 
         if self.output_activation == "softmax":
-            x = jax.nn.softmax(x, axis=-1)
+            x = jax.nn.softmax(x, axis=1)
         else:
             act = get_activation(self.output_activation)
             if act is not None:
                 x = act(x)
 
-        if self.channel_first_io:
-            nd = x.ndim
-            x = x.transpose((0, nd - 1) + tuple(range(1, nd - 1)))
+        if not self.channel_first_io:
+            x = x.transpose((0,) + tuple(range(2, nd)) + (1,))
         return x

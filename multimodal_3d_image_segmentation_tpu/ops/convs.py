@@ -65,15 +65,20 @@ class Conv(nn.Module):
                   else inits.kaiming_uniform_a5(fan_in))
         kernel = self.param("kernel", w_init, k + (in_features, self.features))
 
-        if all(st == 1 for st in s):
-            padding = "SAME"
+        if all(kk == 1 for kk in k) and all(st == 1 for st in s):
+            # 1x1 convs as einsums: lax.conv pays heavy lane padding for
+            # the small channel counts of this model family.
+            mat = kernel.reshape(in_features, self.features)
+            y = jnp.einsum("...i,io->...o", x, mat.astype(x.dtype))
         else:
-            padding = [(kk // 2, kk // 2) for kk in k]
-
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=s, padding=padding,
-            dimension_numbers=_dim_numbers(nd))
+            if all(st == 1 for st in s):
+                padding = "SAME"
+            else:
+                padding = [(kk // 2, kk // 2) for kk in k]
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype),
+                window_strides=s, padding=padding,
+                dimension_numbers=_dim_numbers(nd))
 
         if self.use_bias:
             b_init = (inits.snn_bias() if self.snn_init

@@ -30,24 +30,28 @@ def get_spatial_padcrop(shape: Sequence[int], target_shape: Sequence[int]
     return padding, cropping
 
 
-def spatial_padcrop(x: jax.Array, target_shape: Sequence[int]) -> jax.Array:
-    """Pad and/or crop the spatial axes of a (B, *spatial, C) tensor."""
-    spatial = x.shape[1:-1]
+def spatial_padcrop(x: jax.Array, target_shape: Sequence[int],
+                    channel_first: bool = False) -> jax.Array:
+    """Pad and/or crop the spatial axes of a (B, *spatial, C) tensor
+    (or (B, C, *spatial) with ``channel_first=True``)."""
+    spatial = x.shape[2:] if channel_first else x.shape[1:-1]
     assert len(spatial) == len(target_shape)
     if tuple(spatial) == tuple(target_shape):
         return x
 
     padding, cropping = get_spatial_padcrop(spatial, target_shape)
+    lead = [(0, 0), (0, 0)] if channel_first else [(0, 0)]
+    tail = [] if channel_first else [(0, 0)]
 
     if any(p != (0, 0) for p in padding):
-        pads = [(0, 0)] + list(padding) + [(0, 0)]
-        x = jnp.pad(x, pads)
+        x = jnp.pad(x, lead + list(padding) + tail)
 
     if any(c != (0, 0) for c in cropping):
-        idx = [slice(None)]
-        for (lo, hi), s in zip(cropping, x.shape[1:-1]):
+        spatial_now = x.shape[2:] if channel_first else x.shape[1:-1]
+        idx = [slice(None)] * len(lead)
+        for (lo, hi), s in zip(cropping, spatial_now):
             idx.append(slice(lo, s - hi))
-        idx.append(slice(None))
+        idx += [slice(None)] * len(tail)
         x = x[tuple(idx)]
 
     return x

@@ -39,9 +39,12 @@ def _linear_taps_np(n_in: int, n_out: int
     return lo, hi, w_hi
 
 
-def resize_linear(x: jax.Array, sizes: Sequence[int]) -> jax.Array:
-    """Bi/tri-linear resize of the spatial axes of (B, *spatial, C)."""
-    axes = range(1, x.ndim - 1)
+def resize_linear(x: jax.Array, sizes: Sequence[int],
+                  channel_first: bool = False) -> jax.Array:
+    """Bi/tri-linear resize of the spatial axes of (B, *spatial, C), or of
+    (B, C, *spatial) with ``channel_first=True`` (preferred on TPU for few
+    channels: gathers on a tiny minor dim pay heavy lane padding)."""
+    axes = range(2, x.ndim) if channel_first else range(1, x.ndim - 1)
     for ax, n_out in zip(axes, sizes):
         n_in = x.shape[ax]
         n_out = int(n_out)
@@ -57,9 +60,10 @@ def resize_linear(x: jax.Array, sizes: Sequence[int]) -> jax.Array:
     return x
 
 
-def resize_nearest(x: jax.Array, sizes: Sequence[int]) -> jax.Array:
+def resize_nearest(x: jax.Array, sizes: Sequence[int],
+                   channel_first: bool = False) -> jax.Array:
     """Nearest-neighbor resize (floor indexing, PyTorch 'nearest')."""
-    axes = range(1, x.ndim - 1)
+    axes = range(2, x.ndim) if channel_first else range(1, x.ndim - 1)
     for ax, n_out in zip(axes, sizes):
         n_in = x.shape[ax]
         if n_in == n_out:
