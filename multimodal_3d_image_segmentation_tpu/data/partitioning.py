@@ -38,9 +38,17 @@ def natural_sorted(items):
 
 def partitioning(base_path, train_fraction=0.0, valid_fraction=0.0,
                  test_fraction=0.0, modalities=None, ext=None, remove_str="",
-                 seed=None):
+                 seed=None, naming="brats23"):
     """Split patient-ID folders under ``base_path`` into per-modality
-    train/valid/test path lists."""
+    train/valid/test path lists.
+
+    ``naming``: file naming scheme inside each ID folder —
+    'brats23' -> ``{id}-{m}.{ext}`` (reference
+    ``brats23_data_preparation/partitioning.py:66-70``), 'brats19' ->
+    ``{id}_{m}.{ext}`` (TF-tree variant,
+    ``tensorflow/experiments/data_split/partitioning.py``).
+    """
+    sep = {"brats23": "-", "brats19": "_"}[naming]
     assert 0.9999 < train_fraction + valid_fraction + test_fraction < 1.0001
 
     ids = natural_sorted(os.listdir(base_path))
@@ -58,11 +66,11 @@ def partitioning(base_path, train_fraction=0.0, valid_fraction=0.0,
     prefix = base_path.replace(remove_str, "")
     train_dict, valid_dict, test_dict = {}, {}, {}
     for m in modalities:
-        train_p = [os.path.join(prefix, i, f"{i}-{m}.{ext}")
+        train_p = [os.path.join(prefix, i, f"{i}{sep}{m}.{ext}")
                    for i in train_ids]
-        valid_p = [os.path.join(prefix, i, f"{i}-{m}.{ext}")
+        valid_p = [os.path.join(prefix, i, f"{i}{sep}{m}.{ext}")
                    for i in valid_ids]
-        test_p = [os.path.join(prefix, i, f"{i}-{m}.{ext}")
+        test_p = [os.path.join(prefix, i, f"{i}{sep}{m}.{ext}")
                   for i in test_ids]
 
         assert np.all(np.isin(train_p, valid_p, invert=True))

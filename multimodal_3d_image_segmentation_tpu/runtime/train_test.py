@@ -302,11 +302,14 @@ def _device_memory_stats():
 
 
 def testing(model, params, input_data, output_dir, label_mapping=None,
-            output_origin=None, is_print=True, mesh=None):
+            output_origin=None, is_print=True, mesh=None, save_npz=False):
     """Per-volume prediction on the test split
-    (reference ``experiments/train_test.py:332-426``)."""
+    (reference ``experiments/train_test.py:332-426``). ``save_npz``
+    additionally writes a bulk ``y_true_pred.npz`` (TF-tree parity,
+    ``tensorflow/experiments/train_test.py:292``)."""
     assert input_data.batch_size == 1
     os.makedirs(output_dir, exist_ok=True)
+    npz_true, npz_pred = [], []
 
     test_num_batches = input_data.get_test_num_batches()
     data_lists_test = input_data.data_lists_test
@@ -351,11 +354,19 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
         save_output(y_pred, data_lists_test, i,
                     os.path.join(output_dir, "images"), output_origin,
                     "_pred")
+        if save_npz:
+            npz_true.append(y_true)
+            npz_pred.append(y_pred)
 
         if i != 0:  # first iteration includes compilation
             predict_times.append(e_time - s_time)
 
     end_time = time.time()
+
+    if save_npz:
+        np.savez_compressed(os.path.join(output_dir, "y_true_pred.npz"),
+                            y_true=np.stack(npz_true),
+                            y_pred=np.stack(npz_pred))
     peak_mib, in_use_mib = _device_memory_stats()
     avg_time = float(np.mean(predict_times)) if predict_times else float("nan")
 

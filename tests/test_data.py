@@ -201,3 +201,12 @@ def test_partitioning_split(tmp_path):
     tr2, _, _ = partitioning(str(tmp_path), 0.6, 0.1, 0.3,
                              modalities=["t1c"], ext="nii.gz", seed=100)
     assert tr["t1c"] == tr2["t1c"]
+
+
+def test_partitioning_brats19_naming(tmp_path):
+    for i in range(4):
+        os.makedirs(tmp_path / f"case{i}")
+    tr, _, _ = partitioning(str(tmp_path), 0.5, 0.25, 0.25,
+                            modalities=["t1"], ext="nii.gz", seed=1,
+                            naming="brats19")
+    assert tr["t1"][0].endswith("_t1.nii.gz")
