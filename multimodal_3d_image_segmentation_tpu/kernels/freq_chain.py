@@ -58,8 +58,7 @@ def _kernel(x_ref, w_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_rows(x2d: jax.Array, w: jax.Array, interpret: bool = False):
+def _pallas_rows(x2d: jax.Array, w: jax.Array, interpret: bool):
     n, c = x2d.shape
     n_pad = -n % _TILE
     if n_pad:
@@ -82,6 +81,55 @@ def _fused_rows(x2d: jax.Array, w: jax.Array, interpret: bool = False):
     return out[:n] if n_pad else out
 
 
+def _prec_for(dt):
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _chain_stages(x2d, w):
+    """Plain-ops replay of the chain, returning all stage inputs."""
+    prec = _prec_for(x2d.dtype)
+    xs = [x2d]
+    for k in range(w.shape[0]):
+        x2d = jax.nn.selu(jnp.dot(x2d, w[k], precision=prec) + x2d)
+        xs.append(x2d)
+    return xs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused_rows(x2d, w, interpret):
+    return _pallas_rows(x2d, w, interpret)
+
+
+def _fused_rows_fwd(x2d, w, interpret):
+    # forward via the kernel; keep only the input as residual and
+    # rematerialize the (tiny) intermediates in the backward pass
+    return _pallas_rows(x2d, w, interpret), (x2d, w)
+
+
+def _fused_rows_bwd(interpret, res, g):
+    x2d, w = res
+    prec = _prec_for(x2d.dtype)
+    xs = _chain_stages(x2d, w)
+    scale = 1.0507009873554804934193349852946
+    alpha = 1.6732632423543772848170429916717
+    dw = jnp.zeros_like(w)
+    dx = g
+    for k in range(w.shape[0] - 1, -1, -1):
+        pre = jnp.dot(xs[k], w[k], precision=prec) + xs[k]
+        dselu = jnp.where(pre > 0, scale,
+                          scale * alpha * jnp.exp(jnp.where(pre > 0, 0.0,
+                                                            pre)))
+        dpre = dx * dselu
+        dw = dw.at[k].set(jnp.dot(xs[k].T, dpre, precision=prec)
+                          .astype(w.dtype))
+        dx = jnp.dot(dpre, w[k].T, precision=prec) + dpre
+    return dx, dw
+
+
+_fused_rows.defvjp(_fused_rows_fwd, _fused_rows_bwd)
+
+
 def fused_freq_chain(x: jax.Array, weights: Sequence[jax.Array],
                      interpret: bool = None) -> jax.Array:
     """Apply the fused chain to a packed spectrum (B, *modes, C).
@@ -101,5 +149,5 @@ def fused_freq_chain(x: jax.Array, weights: Sequence[jax.Array],
     # '...i,oi->...o' == x @ W^T: pre-transpose once.
     w = jnp.stack([w.T for w in weights]).astype(x.dtype)
     shape = x.shape
-    out = _fused_rows(x.reshape(-1, c), w, interpret=interpret)
+    out = _fused_rows(x.reshape(-1, c), w, bool(interpret))
     return out.reshape(shape)

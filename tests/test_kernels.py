@@ -54,3 +54,24 @@ def test_hnosegxs_pallas_path_matches_module_path():
     y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
     y_pal = np.asarray(m_pal.apply({"params": p_ref}, x))
     np.testing.assert_allclose(y_pal, y_ref, atol=1e-5)
+
+
+def test_fused_freq_chain_gradients_match():
+    """Custom VJP of the kernel == autodiff of the einsum chain."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 4, 16)).astype(np.float32))
+    weights = [jnp.asarray((rng.standard_normal((16, 16)) * 0.2)
+                           .astype(np.float32)) for _ in range(3)]
+
+    def loss_ref(x, ws):
+        return jnp.sum(jnp.sin(_reference_chain(x, ws)))
+
+    def loss_pal(x, ws):
+        return jnp.sum(jnp.sin(fused_freq_chain(x, ws, interpret=True)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, weights)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(x, weights)
+    np.testing.assert_allclose(np.asarray(g_pal[0]), np.asarray(g_ref[0]),
+                               atol=1e-4)
+    for a, b in zip(g_pal[1], g_ref[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
