@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -24,7 +25,7 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "save_params",
-           "load_params"]
+           "load_params", "AsyncCheckpointer"]
 
 _MAGIC = b"M3SGCKPT"
 
@@ -66,6 +67,40 @@ def load_checkpoint(path, state):
     state = serialization.from_state_dict(state, payload["state"])
     best_epoch = None if meta["best_epoch"] < 0 else int(meta["best_epoch"])
     return state, int(meta["epoch"]), float(meta["min_loss"]), best_epoch
+
+
+class AsyncCheckpointer:
+    """Asynchronous checkpoint writer: the device->host snapshot happens
+    synchronously (cheap), serialization + disk IO run in a background
+    thread so the train loop never blocks on storage. At most one write is
+    in flight; a new save waits for the previous one (ordering preserved,
+    and the atomic-replace in `save_checkpoint` means a crash mid-write
+    never corrupts the previous checkpoint)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+
+    def save(self, path, state, epoch: int, min_loss: float,
+             best_epoch: Optional[int]) -> None:
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+        self.wait()
+        self._thread = threading.Thread(
+            target=save_checkpoint,
+            args=(path, host_state, epoch, min_loss, best_epoch),
+            daemon=True)
+        self._thread.start()
+
+    def save_params(self, path, params) -> None:
+        host = jax.tree_util.tree_map(np.asarray, params)
+        self.wait()
+        self._thread = threading.Thread(target=save_params,
+                                        args=(path, host), daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def save_params(path, params) -> None:

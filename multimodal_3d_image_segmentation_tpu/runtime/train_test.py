@@ -44,8 +44,8 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..data.nifti import write_image
 from ..parallel.mesh import batch_sharding, replicated
 from ..utils.labels import remap_labels
-from .checkpoint import (load_checkpoint, load_params, save_checkpoint,
-                         save_params)
+from .checkpoint import (AsyncCheckpointer, load_checkpoint, load_params,
+                         save_checkpoint, save_params)
 from .steps import (create_train_state, make_eval_step, make_predict_step,
                     make_train_step)
 
@@ -167,6 +167,7 @@ def training(model, input_data, output_dir, loss_fn, tx,
             if is_print:
                 print(f"model summary failed: {e}")
 
+    ckpt = AsyncCheckpointer()  # async saves: train loop never blocks on IO
     train_flow = input_data.get_train_flow(shuffle=True)
     valid_flow = input_data.get_valid_flow()
 
@@ -205,7 +206,7 @@ def training(model, input_data, output_dir, loss_fn, tx,
         tee(f"valid_loss: {valid_loss}")
 
         if (epoch + 1) % checkpoint_epoch == 0:
-            save_checkpoint(chkpt_path, state, epoch, min_loss, best_epoch)
+            ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
             tee("Standard checkpoint saved.")
 
         selection_epoch = int(num_epochs * selection_epoch_portion)
@@ -213,13 +214,13 @@ def training(model, input_data, output_dir, loss_fn, tx,
                 and valid_loss < min_loss):
             min_loss = valid_loss
             best_epoch = epoch
-            save_params(model_path, state.params)
+            ckpt.save_params(model_path, state.params)
             if (epoch + 1) % checkpoint_epoch != 0:
-                save_checkpoint(chkpt_path, state, epoch, min_loss,
-                                best_epoch)
+                ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
                 tee("Best checkpoint saved.")
 
     end_time = time.time()
+    ckpt.wait()
 
     if best_epoch is not None:
         params = load_params(model_path, state.params)
