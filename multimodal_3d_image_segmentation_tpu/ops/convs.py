@@ -23,6 +23,7 @@ import numpy as np
 
 from . import initializers as inits
 from .activations import get_activation, is_selu
+from .spectral import _prec
 
 __all__ = ["Conv", "ConvTranspose", "ConvNormAct", "ConvTransposeNormAct",
            "ConcatConvNormAct", "_SplitKernelConv1x1"]
@@ -69,7 +70,8 @@ class Conv(nn.Module):
             # 1x1 convs as einsums: lax.conv pays heavy lane padding for
             # the small channel counts of this model family.
             mat = kernel.reshape(in_features, self.features)
-            y = jnp.einsum("...i,io->...o", x, mat.astype(x.dtype))
+            y = jnp.einsum("...i,io->...o", x, mat.astype(x.dtype),
+                           precision=_prec(x.dtype))
         else:
             if all(st == 1 for st in s):
                 padding = "SAME"
@@ -163,7 +165,8 @@ class _SplitKernelConv1x1(nn.Module):
         off = 0
         for x, c in zip(inputs, cins):
             part = jnp.einsum("...i,io->...o", x,
-                              mat[off:off + c].astype(x.dtype))
+                              mat[off:off + c].astype(x.dtype),
+                              precision=_prec(x.dtype))
             y = part if y is None else y + part
             off += c
 
