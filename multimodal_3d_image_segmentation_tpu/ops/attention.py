@@ -21,7 +21,7 @@ Layout: channels-last (B, *spatial, C).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -30,8 +30,7 @@ import numpy as np
 
 from . import initializers as inits
 from .activations import get_activation
-from .spectral import (_prec, dht_crop, dht_pad_inverse, normalize_modes,
-                       spatial_axes)
+from .spectral import _prec, dht_crop, dht_pad_inverse, normalize_modes
 
 __all__ = ["HartleyMultiHeadAttention"]
 

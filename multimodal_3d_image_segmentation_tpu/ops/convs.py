@@ -14,7 +14,7 @@ All convs run through ``lax.conv_general_dilated`` in NDHWC/NHWC layout
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -27,7 +27,7 @@ Layout: channels-last (B, *spatial, C).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ PartitionSpec) + jit; no hand-rolled NCCL-style code.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

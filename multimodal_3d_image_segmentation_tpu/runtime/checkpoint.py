@@ -16,9 +16,8 @@ its stateful torch scheduler instead).
 from __future__ import annotations
 
 import os
-import struct
 import threading
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -11,8 +11,7 @@ XLA inserts the gradient psum (data parallelism) and spatial collectives
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

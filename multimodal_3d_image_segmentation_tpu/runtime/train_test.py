@@ -29,7 +29,6 @@ import os
 import re
 import time
 from os.path import join
-from typing import Optional
 
 import numpy as np
 
@@ -45,7 +44,7 @@ from ..data.nifti import write_image
 from ..parallel.mesh import batch_sharding, replicated
 from ..utils.labels import remap_labels
 from .checkpoint import (AsyncCheckpointer, load_checkpoint, load_params,
-                         save_checkpoint, save_params)
+                         save_params)
 from .steps import (create_train_state, make_eval_step, make_predict_step,
                     make_train_step)
 

@@ -4,7 +4,7 @@ Re-designs of reference ``experiments/utils.py:74-119``.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Union
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
