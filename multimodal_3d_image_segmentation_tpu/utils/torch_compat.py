@@ -70,11 +70,10 @@ def _translate_segment(seg: str, model=None) -> str:
     return seg
 
 
-def _ref_key_and_transform(path, model):
-    """Map our param path (tuple of str) to (reference key, transform)."""
+def _ref_key(path, model):
+    """Map our param path (tuple of str) to the reference state-dict key."""
     segs = [_translate_segment(s, model) for s in path[:-1]]
     leaf = path[-1]
-    is_transpose_conv = any(s.endswith("_up") for s in path)
 
     # ConvNormAct wraps its conv under 'conv' and norm under 'norm';
     # the reference wraps them under 'op' and 'normalization'.
@@ -82,13 +81,11 @@ def _ref_key_and_transform(path, model):
     segs = ["normalization" if s == "norm" else s for s in segs]
 
     if leaf == "kernel":
-        tf = _conv_transpose_kernel if is_transpose_conv else _conv_kernel
-        return ".".join(segs + ["weight"]), tf
+        return ".".join(segs + ["weight"])
     if leaf == "scale":  # GroupNorm
-        return ".".join(segs + ["weight"]), lambda w: w
-    # weight / weight_real / weight_imag / weight_query / ... / bias
-    return ".".join(segs + [leaf]), lambda w: w.reshape(
-        w.shape) if leaf.startswith("weight") else lambda w: w
+        return ".".join(segs + ["weight"])
+    # weight / weight_real / weight_imag / weight_query / ... / bias*
+    return ".".join(segs + [leaf])
 
 
 def import_reference_state_dict(model, params: Mapping[str, Any],
@@ -115,7 +112,7 @@ def import_reference_state_dict(model, params: Mapping[str, Any],
             if isinstance(v, Mapping):
                 out[k] = walk(v, p)
                 continue
-            key, _ = _ref_key_and_transform(p, model)
+            key = _ref_key(p, model)
             if key not in sd:
                 raise KeyError(
                     f"reference state dict is missing {key!r} "

@@ -242,3 +242,77 @@ def test_inference_cli(tmp_path):
     # [test] output_folder in the shared test config is 'test'
     pred = read_image(os.path.join(out, "test/images/case0_pred.nii.gz"))
     assert pred.array.shape == (24, 28, 20)
+
+
+def test_2d_pipeline(tmp_path):
+    """2D images end to end: ndim inferred from data (reference run.py:84)."""
+    rng = np.random.default_rng(3)
+    shape = (20, 18)
+    lists = {"m0": [], "seg": []}
+    root = tmp_path / "data2d"
+    for i in range(3):
+        pdir = root / f"case{i}"
+        os.makedirs(pdir, exist_ok=True)
+        yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        c = [s // 2 + rng.integers(-2, 3) for s in shape]
+        seg = (((yy - c[0]) ** 2 + (xx - c[1]) ** 2) < 25).astype(np.uint8)
+        m0 = seg * 5.0 + rng.standard_normal(shape).astype(np.float32) + 10
+        for name, arr in [("m0", m0.astype(np.float32)), ("seg", seg)]:
+            fn = str(pdir / f"case{i}-{name}.nii.gz")
+            write_image(arr, fn)
+            lists[name].append(fn)
+    paths = []
+    for name in ["m0", "seg"]:
+        fn = str(tmp_path / f"{name}_2d.txt")
+        with open(fn, "w") as f:
+            f.writelines([ln + "\n" for ln in lists[name]])
+        paths.append(fn)
+
+    cfg = f"""
+[main]
+output_dir = '{tmp_path / "exp2d"}'
+is_train = True
+is_test = True
+is_statistics = False
+visible_devices = '0'
+
+[input_lists]
+data_dir = ''
+data_lists_train_paths = {paths!r}
+data_lists_valid_paths = {paths!r}
+data_lists_test_paths = {paths!r}
+
+[input_args]
+idx_x_modalities = [0]
+idx_y_modalities = [1]
+batch_size = 1
+num_workers = 0
+use_data_normalization = True
+
+[model]
+model_name = 'HNOSegXS'
+out_channels = 2
+filters = 8
+num_transform_blocks = [2, 2]
+num_modes = (3, 3)
+
+[optimizer]
+optimizer_name = 'Adamax'
+lr = 5e-3
+
+[loss]
+loss_name = 'PCCLoss'
+
+[train]
+num_epochs = 1
+selection_epoch_portion = 0.5
+is_print = False
+
+[test]
+output_folder = 'test'
+"""
+    config = get_config(StringIO(cfg), source=str(tmp_path / "c2d.ini"))
+    run(config)
+    pred = read_image(os.path.join(str(tmp_path / "exp2d"),
+                                   "test/images/case0_pred.nii.gz"))
+    assert pred.array.shape == shape
