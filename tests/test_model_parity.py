@@ -90,3 +90,48 @@ def test_vnetds_no_residual_no_ds_parity():
     ours = models.VNetDS(**kw)
     x = _rand((1, 16, 16, 12, 1), 5)
     _run_parity(ref, ours, x, torch, atol=5e-4)
+
+
+def test_hnosegxs_variant_parity():
+    """Add-skip (no concat), no resize, no unet skip."""
+    nets, torch = get_reference_nets()
+    kw = dict(in_channels=2, out_channels=3, filters=8,
+              num_transform_blocks=[2, 2], num_modes=(3, 4, 4),
+              use_resize=False, use_unet_skip=False, use_block_concat=False)
+    ref = nets.HNOSegXS(**kw)
+    ours = models.HNOSegXS(**kw)
+    x = _rand((1, 16, 16, 12, 2), 11)
+    _run_parity(ref, ours, x, torch, atol=2e-4)
+
+
+def test_hnosegxs_individual_weights_parity():
+    nets, torch = get_reference_nets()
+    kw = dict(in_channels=2, out_channels=3, filters=6,
+              num_transform_blocks=[2, 2], num_modes=(3, 4, 4),
+              weights_type="individual")
+    ref = nets.HNOSegXS(**kw)
+    ours = models.HNOSegXS(**kw)
+    x = _rand((1, 20, 18, 16, 2), 12)
+    _run_parity(ref, ours, x, torch, atol=2e-4)
+
+
+def test_neural_operator_seg_no_block_skip_parity():
+    nets, torch = get_reference_nets()
+    kw = dict(in_channels=2, out_channels=3, filters=6,
+              num_transform_blocks=2, num_modes=(3, 4, 4),
+              transform_type="Fourier", use_block_skip=False,
+              use_bias_conv_branch=True)
+    ref = nets.NeuralOperatorSeg(**kw)
+    ours = models.NeuralOperatorSeg(**kw)
+    x = _rand((1, 18, 16, 16, 2), 13)
+    _run_parity(ref, ours, x, torch, atol=3e-4)
+
+
+def test_hnosegxs_2d_parity():
+    nets, torch = get_reference_nets()
+    kw = dict(in_channels=3, out_channels=2, filters=8,
+              num_transform_blocks=[2, 2], num_modes=(4, 4), ndim=4)
+    ref = nets.HNOSegXS(**kw)
+    ours = models.HNOSegXS(**kw)
+    x = _rand((2, 20, 18, 3), 14)
+    _run_parity(ref, ours, x, torch, atol=2e-4)
