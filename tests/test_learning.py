@@ -64,3 +64,21 @@ def test_model_learns_blobs(model):
     dice = 2 * inter / (np.count_nonzero(pred > 0)
                         + np.count_nonzero(true > 0))
     assert dice > 0.7, dice
+
+
+def test_bf16_training_converges():
+    """bfloat16 activations (fp32 params/accum) still train."""
+    model = models.HNOSegXS(2, 3, 8, [2, 2], (3, 4, 4),
+                            compute_dtype="bfloat16")
+    rng = np.random.default_rng(1)
+    x, y = _blob_batch(rng)
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 5e-3})
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    state = create_train_state(model, params, tx)
+    step = make_train_step(losses.pcc_loss, num_labels=3)
+    first = None
+    for _ in range(40):
+        state, loss = step(state, x, y)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.6, (first, float(loss))
