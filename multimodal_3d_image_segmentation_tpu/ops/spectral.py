@@ -246,12 +246,19 @@ def dht_crop(x: jax.Array, modes: Sequence[int],
         axes = spatial_axes(x.ndim)
     dt = x.dtype
     mdict = dict(zip(axes, modes))
+    # 'extended' may be per-axis; an axis with n == 2m cannot (and need
+    # not) be extended: its packed spectrum IS the full spectrum, so the
+    # flip+roll reversal is already exact there.
+    if isinstance(extended, bool):
+        extended = [extended] * len(axes)
+    edict = {ax: bool(e) and x.shape[ax] > 2 * m
+             for ax, m, e in zip(axes, modes, extended)}
     pairs = [(ax, x.shape[ax], 2 * m) for ax, m in zip(axes, modes)]
     order = _axis_order(pairs, forward=True)
     stages = []
     kinds = _kinds(len(order))
     for (ax, n, _), kind in zip(order, kinds):
-        c, s = _dft_mats_np(int(n), int(mdict[ax]), True, extended, -1)
+        c, s = _dft_mats_np(int(n), int(mdict[ax]), True, edict[ax], -1)
         stages.append((ax, kind, _stage_matrix(c, s, kind, dt)))
     return _cas_chain(x, stages)
 
@@ -414,8 +421,13 @@ def extended_reverse_perm(m: int) -> np.ndarray:
 
 
 def extended_to_packed(x: jax.Array, axes: Sequence[int]) -> jax.Array:
-    """Drop the extra k=m row per axis: extended (2m+1) -> packed (2m)."""
+    """Drop the extra k=m row per axis: extended (2m+1) -> packed (2m).
+
+    Even-sized axes are already packed (the n == 2m case) and pass through.
+    """
     for ax in axes:
+        if x.shape[ax] % 2 == 0:
+            continue
         m = (x.shape[ax] - 1) // 2
         idx = np.concatenate([np.arange(m), np.arange(m + 1, 2 * m + 1)])
         x = jnp.take(x, jnp.asarray(idx), axis=ax)
@@ -423,8 +435,13 @@ def extended_to_packed(x: jax.Array, axes: Sequence[int]) -> jax.Array:
 
 
 def extended_reverse(x: jax.Array, axes: Sequence[int]) -> jax.Array:
-    """True frequency reversal on an extended (2m+1 per axis) spectrum."""
+    """True frequency reversal on an extended spectrum. Odd-sized axes
+    (2m+1) use the exact permutation; even-sized axes hold the full
+    spectrum (n == 2m) where flip+roll IS the exact reversal."""
     for ax in axes:
-        m = (x.shape[ax] - 1) // 2
-        x = jnp.take(x, jnp.asarray(extended_reverse_perm(m)), axis=ax)
+        if x.shape[ax] % 2 == 0:
+            x = jnp.roll(jnp.flip(x, ax), 1, ax)
+        else:
+            m = (x.shape[ax] - 1) // 2
+            x = jnp.take(x, jnp.asarray(extended_reverse_perm(m)), axis=ax)
     return x

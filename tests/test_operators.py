@@ -150,3 +150,24 @@ def test_hartley_operator_mode_clipping_matches_reference():
     params = {"weight": jnp.asarray(ref.weight.detach().numpy())}
     got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_hartley_operator_individual_tight_size_parity():
+    """individual weights with spatial size == 2*modes exactly (the
+    reference's minimum legal size)."""
+    nets, torch = get_reference_nets()
+    cin, cout, modes = 2, 3, (3, 4, 2)
+    shape = (1, 6, 11, 4, cin)  # axes 0 and 2 tight (s == 2m), axis 1 loose
+    x = _rand(shape, 20)
+
+    ref = nets.hartley_operator.HartleyOperator(
+        cin, cout, modes, weights_type="individual", use_transform=True,
+        ndim=5)
+    with torch.no_grad():
+        want = from_torch_channel_first(ref(to_torch_channel_first(x, torch)))
+
+    mod = HartleyOperator(cin, cout, modes, weights_type="individual",
+                          use_transform=True)
+    params = {"weight": jnp.asarray(ref.weight.detach().numpy())}
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
