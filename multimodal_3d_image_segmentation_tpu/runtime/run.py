@@ -68,6 +68,18 @@ def run(config_args):
     """Run an experiment: train and/or test and/or statistics."""
     output_dir = os.path.expanduser(config_args["main"]["output_dir"])
 
+    # Honor visible_devices as the default device index for single-device
+    # runs (the reference's torch.cuda.set_device, ``run.py:39``). Meshes
+    # override this.
+    vis = config_args["main"].get("visible_devices")
+    if vis is not None and "parallel" not in config_args:
+        try:
+            idx = int(vis)
+            if 0 < idx < len(jax.devices()):
+                jax.config.update("jax_default_device", jax.devices()[idx])
+        except (ValueError, TypeError):
+            pass
+
     # Input data
     input_lists = copy.deepcopy(config_args["input_lists"])
     data_dir = os.path.expanduser(input_lists.get("data_dir"))
