@@ -1,0 +1,54 @@
+"""Full-resolution inference benchmark for every model family, vs the
+reference's published V100 numbers (reference README Fig. 1):
+HNOSeg-XS ~0.20-0.24 s, FNOSeg ~0.28 s, HNOSeg ~0.36 s, V-Net-DS ~0.33 s.
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_3d_image_segmentation_tpu import models
+from multimodal_3d_image_segmentation_tpu.utils.profiling import timed_loop_ms
+
+SHAPE = (1, 4, 240, 240, 155)
+V100 = {"HNOSeg-XS": 240, "FNOSeg": 280, "HNOSeg": 360, "V-Net-DS": 330,
+        "HartleyMHA": None}
+
+CONFIGS = {
+    "HNOSeg-XS": models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14),
+                                 use_pallas=True),
+    "FNOSeg": models.NeuralOperatorSeg(4, 4, 24, 24, (10, 14, 14),
+                                       "Fourier"),
+    "HNOSeg": models.NeuralOperatorSeg(4, 4, 24, 24, (10, 14, 14),
+                                       "Hartley"),
+    "V-Net-DS": models.VNetDS(4, 4, 24, [1, 2, 3, 3, 3],
+                              right_leg_indexes=[0, 1, 2, 3, 4]),
+    "HartleyMHA": models.HartleyMHASeg(4, 4, 24, 16, 4, (8, 12, 12), 2),
+}
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    for name, model in CONFIGS.items():
+        try:
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros_like(x))["params"]
+            n_params = sum(int(np.prod(p.shape))
+                           for p in jax.tree_util.tree_leaves(params))
+            fn = lambda v: model.apply({"params": params}, v)  # noqa: E731
+            ms = timed_loop_ms(fn, x, n_short=1, n_long=4, repeats=3)
+            ref = V100.get(name)
+            vs = f"{ref / ms:5.1f}x V100" if ref else "   (n/a)"
+            print(f"{name:11s} {n_params/1e6:8.3f}M params  "
+                  f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:11s} FAILED: {type(e).__name__}: {str(e)[:100]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
