@@ -316,3 +316,58 @@ output_folder = 'test'
     pred = read_image(os.path.join(str(tmp_path / "exp2d"),
                                    "test/images/case0_pred.nii.gz"))
     assert pred.array.shape == shape
+
+
+@pytest.mark.parametrize("model_section", [
+    """[model]
+model_name = 'NeuralOperatorSeg'
+out_channels = 3
+filters = 6
+num_transform_blocks = 2
+num_modes = (3, 3, 3)
+transform_type = 'Fourier'
+""",
+    """[model]
+model_name = 'NeuralOperatorSeg'
+out_channels = 3
+filters = 6
+num_transform_blocks = 2
+num_modes = (3, 3, 3)
+transform_type = 'Hartley'
+""",
+    """[model]
+model_name = 'VNetDS'
+out_channels = 3
+base_num_filters = 4
+num_blocks = [1, 2]
+right_leg_indexes = [0, 1]
+""",
+    """[model]
+model_name = 'HartleyMHASeg'
+out_channels = 3
+filters = 8
+num_transform_blocks = 2
+num_heads = 2
+num_modes = (2, 2, 2)
+patch_size = 2
+""",
+], ids=["fnoseg", "hnoseg", "vnetds", "hartleymha"])
+def test_pipeline_other_model_families(tmp_path, model_section):
+    """Every model family runs through the config-driven pipeline."""
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=3, shape=(16, 16, 12))
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()}, "tr")
+    valid = _write_lists(tmp_path, {k: v[2:] for k, v in lists.items()}, "va")
+    out = str(tmp_path / "exp")
+
+    cfg = _config(tmp_path, out, train, valid, valid, num_epochs=1,
+                  is_statistics=False)
+    # swap the [model] section
+    raw = cfg["config"].getvalue()
+    import re as _re
+    raw = _re.sub(r"\[model\][^\[]*", model_section + "\n", raw)
+    cfg2 = get_config(StringIO(raw), source=str(tmp_path / "c.ini"))
+    run(cfg2)
+    pred = read_image(os.path.join(out, "test/images/case2_pred.nii.gz"))
+    assert pred.array.shape == (16, 16, 12)
