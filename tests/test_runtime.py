@@ -131,3 +131,22 @@ def test_to_categorical_and_remap():
     # numpy path
     out = remap_labels(np.asarray(y), {2: 9})
     assert out[0, 0, 1, 0] == 9
+
+
+def test_profiling_utilities():
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import (
+        Timer, device_memory_stats, timed_loop_ms)
+    import jax.numpy as jnp
+
+    t = Timer(skip_first=1)
+    for _ in range(3):
+        with t.measure():
+            pass
+    assert len(t.times) == 2 and t.mean >= 0 and t.median >= 0
+
+    stats = device_memory_stats()
+    assert "bytes_in_use_mib" in stats
+
+    ms = timed_loop_ms(lambda v: v * 2.0 + 1.0,
+                       jnp.ones((64, 64)), n_short=1, n_long=3, repeats=1)
+    assert np.isfinite(ms)
