@@ -68,6 +68,41 @@ class _OpScope(nn.Module):
                          self.snn_init, name="op")()
 
 
+class _ConvParams(nn.Module):
+    """Param-only holder with ConvNormAct's conv layout (kernel+bias),
+    used by the fused conv_in kernel so parameter paths stay identical to
+    the ConvNormAct path: ``conv_in/conv/{kernel,bias}``."""
+    features: int
+    in_features: int
+    kernel_size: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        from ..ops import initializers as inits
+        k = (self.kernel_size,) * 3
+        fan_in = self.in_features * int(np.prod(k))
+        w_init = (inits.kaiming_normal_linear(fan_in) if self.snn_init
+                  else inits.kaiming_uniform_a5(fan_in))
+        kernel = self.param("kernel", w_init,
+                            k + (self.in_features, self.features))
+        b_init = (inits.snn_bias() if self.snn_init
+                  else inits.torch_conv_bias(fan_in))
+        bias = self.param("bias", b_init, (self.features,))
+        return kernel, bias
+
+
+class _ConvInScope(nn.Module):
+    features: int
+    in_features: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.in_features, 2,
+                           self.snn_init, name="conv")()
+
+
 class _FreqResidentConv(nn.Module):
     """One frequency-domain convolution with identity skip + activation
     (reference ``nets/hnosegxs.py:282-329``). Operates on the packed
@@ -201,28 +236,51 @@ class HNOSegXS(nn.Module):
     compute_dtype: str = "float32"
     use_remat: bool = False
 
+    def _use_conv_in_kernel(self, x_cf):
+        """The fused conv_in kernel covers the common case: 3D, SELU,
+        batch 1, fp32/bf16, running on a real TPU."""
+        return (self.use_pallas and self.ndim == 5
+                and is_selu(self.activation) and x_cf.shape[0] == 1
+                and jax.default_backend() == "tpu")
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.ndim in (4, 5)
-        if self.channel_first_io:
-            nd = x.ndim
-            x = x.transpose((0,) + tuple(range(2, nd)) + (1,))
-        # Mixed precision: activations in compute_dtype (params stay fp32,
-        # MXU accumulates fp32); softmax and outputs return to fp32.
-        in_dtype = x.dtype
-        x = x.astype(self.compute_dtype)
-
         snn = is_selu(self.activation)
+        in_dtype = x.dtype
+
+        # Fused Pallas conv_in consumes the *channel-first* input directly
+        # (dense HBM layout) and emits the channels-last half-res grid; the
+        # fallback transposes first and uses ConvNormAct. Parameters are
+        # identical in both branches (conv_in/conv/{kernel,bias}).
+        conv_in_done = False
+        if (self.use_resize and self.channel_first_io
+                and self._use_conv_in_kernel(x)):
+            from ..kernels.conv_in import conv_in_s2d
+            image_size = x.shape[2:]  # channel-first original size
+            kernel, bias = _ConvInScope(self.filters, x.shape[1],
+                                        snn, name="conv_in")()
+            # Mixed precision: activations in compute_dtype (params fp32)
+            x = x.astype(self.compute_dtype)
+            x = conv_in_s2d(x, kernel.astype(x.dtype),
+                            bias.astype(x.dtype))
+            conv_in_done = True
+        else:
+            if self.channel_first_io:
+                nd = x.ndim
+                x = x.transpose((0,) + tuple(range(2, nd)) + (1,))
+            x = x.astype(self.compute_dtype)
+            image_size = x.shape[1:-1]
+
         ntb = self.num_transform_blocks
         if np.isscalar(ntb):
             ntb = [int(ntb)]
         num_blocks = len(ntb)
 
-        image_size = x.shape[1:-1]
         ds_tensors = []
         encode_tensors = {}
 
-        if self.use_resize:
+        if self.use_resize and not conv_in_done:
             x = ConvNormAct(self.filters, kernel_size=2, strides=2,
                             use_bias=True, activation=self.activation,
                             use_snn=snn, name="conv_in")(x)
