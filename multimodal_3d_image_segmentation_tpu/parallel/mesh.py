@@ -51,21 +51,41 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: Optional[int] = None
+def batch_sharding(mesh: Mesh, shape, spatial_axis: Optional[int] = None
                    ) -> NamedSharding:
     """Sharding for a channel-first batch (B, C, *spatial): batch over
     ``data``; optionally one spatial axis over ``spatial``.
 
+    ``shape`` may be the array shape (divisibility-aware: axes that do not
+    divide evenly stay replicated, e.g. batch 1 with a data axis) or, for
+    backward compatibility, an int ndim (assumes divisibility).
+
     ``spatial_axis`` indexes into the spatial dims (0 = D). Default: the
-    second spatial axis (H) when the mesh has a non-trivial spatial axis —
-    H is a large, power-of-two-friendly extent in the BraTS volumes.
+    first spatial axis whose extent divides the mesh's spatial size
+    (preferring H — a large, power-of-two-friendly extent in BraTS).
     """
+    if isinstance(shape, int):
+        ndim = shape
+        shape = None
+    else:
+        shape = tuple(shape)
+        ndim = len(shape)
+
     spec = [None] * ndim
-    spec[0] = DATA_AXIS
-    if mesh.shape[SPATIAL_AXIS] > 1:
-        if spatial_axis is None:
-            spatial_axis = 1 if ndim >= 5 else 0
-        spec[2 + spatial_axis] = SPATIAL_AXIS
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data > 1 and (shape is None or shape[0] % n_data == 0):
+        spec[0] = DATA_AXIS
+
+    n_sp = mesh.shape[SPATIAL_AXIS]
+    if n_sp > 1:
+        candidates = ([spatial_axis] if spatial_axis is not None
+                      else ([1, 0, 2] if ndim >= 5 else [0, 1]))
+        for cand in candidates:
+            if 2 + cand >= ndim:
+                continue
+            if shape is None or shape[2 + cand] % n_sp == 0:
+                spec[2 + cand] = SPATIAL_AXIS
+                break
     return NamedSharding(mesh, P(*spec))
 
 

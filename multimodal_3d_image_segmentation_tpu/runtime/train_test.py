@@ -174,8 +174,8 @@ def training(model, input_data, output_dir, loss_fn, tx,
         x = jnp.asarray(x, jnp.float32)
         y = jnp.asarray(y)
         if mesh is not None:
-            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
-            y = jax.device_put(y, batch_sharding(mesh, y.ndim))
+            x = jax.device_put(x, batch_sharding(mesh, x.shape))
+            y = jax.device_put(y, batch_sharding(mesh, y.shape))
         return x, y
 
     if is_print:

@@ -371,3 +371,27 @@ def test_pipeline_other_model_families(tmp_path, model_section):
     run(cfg2)
     pred = read_image(os.path.join(out, "test/images/case2_pred.nii.gz"))
     assert pred.array.shape == (16, 16, 12)
+
+
+def test_pipeline_with_parallel_mesh(tmp_path):
+    """[parallel] config section: training+testing over a (data, spatial)
+    mesh on the virtual 8-device backend."""
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=4, shape=(16, 16, 12))
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()}, "tr")
+    valid = _write_lists(tmp_path, {k: v[2:3] for k, v in lists.items()},
+                         "va")
+    test = _write_lists(tmp_path, {k: v[3:] for k, v in lists.items()}, "te")
+    out = str(tmp_path / "exp_mesh")
+
+    extra = """
+[parallel]
+n_data = 2
+n_spatial = 2
+"""
+    cfg = _config(tmp_path, out, train, valid, test, num_epochs=1,
+                  is_statistics=False, extra=extra)
+    run(cfg)
+    pred = read_image(os.path.join(out, "test/images/case3_pred.nii.gz"))
+    assert pred.array.shape == (16, 16, 12)

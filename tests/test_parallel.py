@@ -57,8 +57,8 @@ def test_sharded_train_step_matches_single_device(n_data, n_spatial):
 
     # sharded
     mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
-    xs = jax.device_put(x, batch_sharding(mesh, x.ndim))
-    ys = jax.device_put(y, batch_sharding(mesh, y.ndim))
+    xs = jax.device_put(x, batch_sharding(mesh, x.shape))
+    ys = jax.device_put(y, batch_sharding(mesh, y.shape))
     state_r = jax.device_put(create_train_state(model, params, tx),
                              replicated(mesh))
     state2, loss2 = step(state_r, xs, ys)
