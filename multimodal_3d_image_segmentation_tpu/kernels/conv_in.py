@@ -105,6 +105,38 @@ def _conv_in_impl(x_cf, kernel, bias, dt=11, ht=4, interpret=False,
     return jnp.transpose(out, (0, 1, 3, 2))[None]
 
 
+def _reference_xla(x_cf, kernel, bias):
+    """XLA reference implementation (also supplies the backward pass)."""
+    y = jax.lax.conv_general_dilated(
+        jnp.transpose(x_cf, (0, 2, 3, 4, 1)), kernel, (2, 2, 2),
+        [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return jax.nn.selu(y + bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_in_vjp(x_cf, kernel, bias, interpret):
+    d2 = x_cf.shape[2] // 2 + 1
+    dt = min(11, d2)
+    return _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
+                         interpret=interpret)
+
+
+def _conv_in_fwd(x_cf, kernel, bias, interpret):
+    return _conv_in_vjp(x_cf, kernel, bias, interpret), (x_cf, kernel, bias)
+
+
+def _conv_in_bwd(interpret, res, g):
+    # Gradients via the (numerically matching) XLA formulation; the Pallas
+    # kernel is only the forward fast path.
+    x_cf, kernel, bias = res
+    _, vjp = jax.vjp(_reference_xla, x_cf, kernel, bias)
+    return vjp(g)
+
+
+_conv_in_vjp.defvjp(_conv_in_fwd, _conv_in_bwd)
+
+
 def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
                 interpret=None) -> jax.Array:
     """Fused k=2/s=2/pad=1 conv + bias + SELU.
@@ -117,11 +149,8 @@ def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
     Returns:
         Channels-last (1, D//2+1, H//2+1, W//2+1, F), matching
         ``ConvNormAct(F, kernel_size=2, strides=2)`` + SELU exactly.
+        Differentiable (custom VJP; backward runs through XLA).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # tile heights must keep the block's second-minor (2*ht) divisible by 8
-    d2 = x_cf.shape[2] // 2 + 1
-    dt = min(11, d2)
-    return _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
-                         interpret=bool(interpret))
+    return _conv_in_vjp(x_cf, kernel, bias, bool(interpret))

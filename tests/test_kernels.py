@@ -75,3 +75,28 @@ def test_fused_freq_chain_gradients_match():
                                atol=1e-4)
     for a, b in zip(g_pal[1], g_ref[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_conv_in_kernel_matches_and_differentiates():
+    from multimodal_3d_image_segmentation_tpu.kernels.conv_in import (
+        conv_in_s2d, _reference_xla)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 3, 18, 14, 11)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((2, 2, 2, 3, 8)) * .2)
+                    .astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(8) * .05).astype(np.float32))
+
+    want = np.asarray(_reference_xla(x, k, b))
+    got = np.asarray(conv_in_s2d(x, k, b, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def loss_pal(x, k, b):
+        return jnp.sum(jnp.sin(conv_in_s2d(x, k, b, interpret=True)))
+
+    def loss_ref(x, k, b):
+        return jnp.sum(jnp.sin(_reference_xla(x, k, b)))
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(x, k, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    for a, bb in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
