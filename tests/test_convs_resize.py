@@ -104,3 +104,19 @@ def test_spatial_padcrop_matches_reference_semantics():
     # identity
     z = spatial_padcrop(jnp.asarray(x), (5, 8, 6))
     np.testing.assert_allclose(np.asarray(z), x)
+
+
+def test_resize_channel_first_matches_channels_last():
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, 7, 9, 6, 3)).astype(np.float32)
+    x_cf = np.transpose(x, (0, 4, 1, 2, 3))
+    out_cl = np.asarray(resize_linear(jnp.asarray(x), (14, 13, 11)))
+    out_cf = np.asarray(resize_linear(jnp.asarray(x_cf), (14, 13, 11),
+                                      channel_first=True))
+    np.testing.assert_allclose(np.transpose(out_cf, (0, 2, 3, 4, 1)),
+                               out_cl, atol=1e-6)
+
+    n_cl = np.asarray(resize_nearest(jnp.asarray(x), (3, 5, 12)))
+    n_cf = np.asarray(resize_nearest(jnp.asarray(x_cf), (3, 5, 12),
+                                     channel_first=True))
+    np.testing.assert_array_equal(np.transpose(n_cf, (0, 2, 3, 4, 1)), n_cl)
