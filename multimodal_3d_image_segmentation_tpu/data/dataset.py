@@ -9,6 +9,7 @@ async dispatch (``jax.device_put`` double buffering).
 from __future__ import annotations
 
 import math
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 
@@ -100,9 +101,11 @@ class _Flow:
         self._rng = np.random.default_rng(seed)
         self._pool = None
         if num_workers and num_workers > 0:
+            # spawn: fork() in a threaded (JAX) process risks deadlock
             self._pool = ProcessPoolExecutor(
                 max_workers=num_workers, initializer=_worker_init,
-                initargs=(dataset,))
+                initargs=(dataset,),
+                mp_context=multiprocessing.get_context("spawn"))
 
     def __len__(self):
         return math.ceil(len(self.dataset) / self.batch_size)

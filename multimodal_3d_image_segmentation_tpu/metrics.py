@@ -28,7 +28,7 @@ import itertools
 import os
 from collections import defaultdict
 from functools import partial
-from multiprocessing import Pool
+import multiprocessing
 from typing import Optional, Sequence
 
 import numpy as np
@@ -193,7 +193,9 @@ def statistics_regional(y_true, y_pred, y_list_test, output_dir,
             partial_fn = partial(compute_regional_metrics, labels=labs,
                                  use_surface_dice=use_surface_dice,
                                  use_hd95=use_hd95)
-            with Pool(processes=nproc) as pool:
+            # spawn: fork() in a threaded (JAX) process risks deadlock
+            ctx = multiprocessing.get_context("spawn")
+            with ctx.Pool(processes=nproc) as pool:
                 results = pool.starmap(partial_fn,
                                        zip(y_true, y_pred, spacing))
             for res in results:
