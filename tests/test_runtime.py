@@ -150,3 +150,17 @@ def test_profiling_utilities():
     ms = timed_loop_ms(lambda v: v * 2.0 + 1.0,
                        jnp.ones((64, 64)), n_short=1, n_long=3, repeats=1)
     assert np.isfinite(ms)
+
+
+def test_async_checkpointer_ordering(tmp_path):
+    from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+        AsyncCheckpointer, load_params)
+    ckpt = AsyncCheckpointer()
+    path = str(tmp_path / "p.msgpack")
+    template = {"w": jnp.zeros((4,))}
+    # rapid successive saves: the last one must win
+    for i in range(5):
+        ckpt.save_params(path, {"w": jnp.full((4,), float(i))})
+    ckpt.wait()
+    out = load_params(path, template)
+    np.testing.assert_allclose(np.asarray(out["w"]), 4.0)
