@@ -164,3 +164,28 @@ def test_async_checkpointer_ordering(tmp_path):
     ckpt.wait()
     out = load_params(path, template)
     np.testing.assert_allclose(np.asarray(out["w"]), 4.0)
+
+
+@pytest.mark.parametrize("cfg_file", [
+    "configs/config_hnoseg_xs.ini", "configs/config_fnoseg.ini",
+    "configs/config_hnoseg.ini", "configs/config_fno.ini",
+    "configs/config_vnet-ds.ini", "configs/config_hartleymha.ini",
+])
+def test_all_shipped_configs_build_models(cfg_file):
+    """Every shipped config parses and constructs its model (with data-
+    derived args injected the way run.py does)."""
+    from multimodal_3d_image_segmentation_tpu.runtime.run import _build_model
+
+    cfg = get_config(cfg_file)
+
+    class FakeInput:
+        def get_num_x_modalities(self):
+            return 4
+
+    model = _build_model(cfg, FakeInput(), lambda: (120, 120, 78))
+    # large enough for the individual-weights / MHA mode asserts after the
+    # stride-2 resize (the real configs run at 120x120x78)
+    x = jnp.zeros((1, 4, 48, 48, 48), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (1, 4, 48, 48, 48)
