@@ -30,7 +30,7 @@ BASELINE_SECONDS_PER_VOLUME = 0.24  # V100, reference README.md:10
 SHAPE = (1, 4, 240, 240, 155)       # BraTS'23 full resolution
 N_SHORT = 2
 N_LONG = 12
-REPEATS = 3
+REPEATS = 5
 
 
 def _timed_loop(model, params, x, n_iters):
