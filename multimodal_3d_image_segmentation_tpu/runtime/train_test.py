@@ -43,6 +43,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..data.nifti import write_image
 from ..parallel.mesh import batch_sharding, replicated
 from ..utils.labels import remap_labels
+from ..utils.prefetch import device_prefetch
 from .checkpoint import (AsyncCheckpointer, load_checkpoint, load_params,
                          save_params)
 from .steps import (create_train_state, make_eval_step, make_predict_step,
@@ -185,10 +186,10 @@ def training(model, input_data, output_dir, loss_fn, tx,
     start_time = time.time()
 
     for epoch in range(start_epoch, num_epochs):
-        # Training phase
+        # Training phase: double-buffered host->device feeding (the next
+        # batch ships to HBM while the current step executes)
         train_losses = []
-        for x, y in train_flow:
-            x, y = put(x, y)
+        for x, y in device_prefetch(train_flow, lambda b: put(*b)):
             state, loss = train_step(state, x, y)
             train_losses.append(loss)
         train_loss = float(np.mean([float(l) for l in train_losses]))
@@ -198,8 +199,7 @@ def training(model, input_data, output_dir, loss_fn, tx,
 
         # Validation phase
         valid_losses = []
-        for x, y in valid_flow:
-            x, y = put(x, y)
+        for x, y in device_prefetch(valid_flow, lambda b: put(*b)):
             valid_losses.append(eval_step(state, x, y))
         valid_loss = float(np.mean([float(l) for l in valid_losses]))
         tee(f"valid_loss: {valid_loss}")
