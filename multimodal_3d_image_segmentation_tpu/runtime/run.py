@@ -101,6 +101,15 @@ def run(config_args):
 
     input_data = None
     transform_args = config_args.get("augmentation")
+    augment_fn = None
+    if transform_args and transform_args.get("device", False):
+        # on-device augmentation: runs inside the jitted train step; the
+        # host pipeline then skips the per-sample resample entirely
+        from ..data.augmentation_device import make_device_augment
+        dev_args = {k: v for k, v in transform_args.items() if k != "device"}
+        dev_args.pop("seed", None)
+        augment_fn = make_device_augment(**dev_args)
+        transform_args = None
     if config_args["main"]["is_train"] or config_args["main"]["is_test"]:
         input_data = InputData(reader=read_img,
                                data_lists_train=data_lists_train,
@@ -149,7 +158,7 @@ def run(config_args):
         train_args.pop("use_autocast", None)
         params = training(model=model, input_data=input_data,
                           output_dir=output_dir, loss_fn=loss_fn, tx=tx,
-                          mesh=mesh, **train_args)
+                          mesh=mesh, augment_fn=augment_fn, **train_args)
 
     elif config_args["main"]["is_test"]:
         model = _build_model(config_args, input_data,

@@ -34,16 +34,26 @@ def create_train_state(model, params, tx) -> TrainState:
 
 def make_train_step(loss_fn: Callable, num_labels: int,
                     label_mapping: Optional[Dict[int, int]] = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    augment_fn: Optional[Callable] = None,
+                    augment_seed: int = 0):
     """Build the jitted training step.
 
     Args:
         loss_fn: (y_pred, y_true_onehot) -> scalar.
         num_labels: number of classes for one-hot.
         label_mapping: optional {old: new} label remap applied on device.
+        augment_fn: optional on-device augmentation (key, x, y) -> (x, y)
+            (see ``data.augmentation_device.make_device_augment``), applied
+            inside the jitted step with a per-step PRNG key.
     """
 
     def step(state: TrainState, x, y):
+        if augment_fn is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(augment_seed),
+                                     state.step)
+            x, y = augment_fn(key, x.astype(jnp.float32),
+                              y.astype(jnp.float32))
         y = remap_labels(y, label_mapping)
         y1h = to_categorical(y, num_labels)
 

@@ -98,7 +98,7 @@ def training(model, input_data, output_dir, loss_fn, tx,
              label_mapping=None, num_epochs=100,
              selection_epoch_portion=0.8, checkpoint_epoch=10,
              is_plot_model=False, is_print=True, plot_epoch_portion=None,
-             mesh=None, seed=0, params=None):
+             mesh=None, seed=0, params=None, augment_fn=None):
     """Train a model; returns the final (best-on-valid) params.
 
     Args mirror the reference ``training``
@@ -125,7 +125,8 @@ def training(model, input_data, output_dir, loss_fn, tx,
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
-    train_step = make_train_step(loss_fn, num_labels, label_mapping)
+    train_step = make_train_step(loss_fn, num_labels, label_mapping,
+                                 augment_fn=augment_fn, augment_seed=seed)
     eval_step = make_eval_step(loss_fn, num_labels, label_mapping)
 
     if os.path.exists(chkpt_path):

@@ -395,3 +395,22 @@ n_spatial = 2
     run(cfg)
     pred = read_image(os.path.join(out, "test/images/case3_pred.nii.gz"))
     assert pred.array.shape == (16, 16, 12)
+
+
+def test_pipeline_with_device_augmentation(tmp_path):
+    """[augmentation] device = True: augmentation inside the jitted step."""
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=3)
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()}, "tr")
+    valid = _write_lists(tmp_path, {k: v[2:] for k, v in lists.items()}, "va")
+    out = str(tmp_path / "exp_devaug")
+
+    cfg = _config(tmp_path, out, train, valid, valid, num_epochs=2,
+                  is_statistics=False)
+    raw = cfg["config"].getvalue().replace(
+        "[augmentation]", "[augmentation]\ndevice = True")
+    cfg2 = get_config(StringIO(raw), source=str(tmp_path / "c.ini"))
+    run(cfg2)
+    log = open(os.path.join(out, "stdout.txt")).read()
+    assert log.count("train_loss:") == 2
