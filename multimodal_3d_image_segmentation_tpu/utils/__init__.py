@@ -1,1 +1,2 @@
-from .torch_compat import import_reference_state_dict  # noqa: F401
+from .torch_compat import (export_reference_state_dict,  # noqa: F401
+                           import_reference_state_dict)

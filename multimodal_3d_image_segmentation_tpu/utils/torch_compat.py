@@ -21,7 +21,7 @@ from typing import Any, Dict, Mapping
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["import_reference_state_dict"]
+__all__ = ["import_reference_state_dict", "export_reference_state_dict"]
 
 
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
@@ -141,3 +141,40 @@ def import_reference_state_dict(model, params: Mapping[str, Any],
     if unused:
         raise ValueError(f"unused reference parameters: {sorted(unused)}")
     return new_params
+
+
+def export_reference_state_dict(model, params: Mapping[str, Any]
+                                ) -> Dict[str, np.ndarray]:
+    """Inverse of `import_reference_state_dict`: convert our param tree to
+    a reference-layout state dict (numpy), loadable into the PyTorch
+    reference via ``ref_model.load_state_dict({k: torch.from_numpy(v)})``
+    (bias shapes broadcast in torch). Enables moving TPU-trained weights
+    back to the reference ecosystem.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, Mapping):
+                walk(v, p)
+                continue
+            key = _ref_key(p, model)
+            w = np.asarray(v)
+            leaf = p[-1]
+            if leaf == "kernel":
+                nd = w.ndim
+                if any(s.endswith("_up") for s in p):
+                    # (*k, I, O) -> torch transposed-conv (I, O, *k)
+                    w = np.ascontiguousarray(
+                        w.transpose((nd - 2, nd - 1) + tuple(range(nd - 2))))
+                else:
+                    # (*k, I, O) -> torch conv (O, I, *k)
+                    w = np.ascontiguousarray(
+                        w.transpose((nd - 1, nd - 2) + tuple(range(nd - 2))))
+            if key in out:
+                raise ValueError(f"duplicate reference key {key!r}")
+            out[key] = w
+
+    walk(params, ())
+    return out

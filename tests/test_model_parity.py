@@ -135,3 +135,35 @@ def test_hnosegxs_2d_parity():
     ours = models.HNOSegXS(**kw)
     x = _rand((2, 20, 18, 3), 14)
     _run_parity(ref, ours, x, torch, atol=2e-4)
+
+
+def test_export_reference_state_dict_roundtrip():
+    """Our params -> reference state dict -> torch reference model produces
+    identical outputs (TPU-trained weights usable in the reference)."""
+    nets, torch = get_reference_nets()
+    from multimodal_3d_image_segmentation_tpu.utils import (
+        export_reference_state_dict)
+
+    kw = dict(in_channels=2, out_channels=3, filters=8,
+              num_transform_blocks=[2, 2], num_modes=(3, 4, 4))
+    ours = models.HNOSegXS(**kw)
+    x_cl = _rand((1, 16, 16, 12, 2), 30)
+    x_cf = jnp.asarray(np.transpose(x_cl, (0, 4, 1, 2, 3)))
+    params = ours.init(jax.random.PRNGKey(7), x_cf)["params"]
+    got = np.asarray(ours.apply({"params": params}, x_cf))
+
+    sd = export_reference_state_dict(ours, params)
+    ref = nets.HNOSegXS(**kw)
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         .reshape(ref.state_dict()[k].shape)
+                         for k, v in sd.items()})
+    ref.eval()
+    with torch.no_grad():
+        want = ref(to_torch_channel_first(x_cl, torch)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # structural roundtrip
+    back = import_reference_state_dict(ours, params, sd)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
