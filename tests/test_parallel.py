@@ -96,3 +96,25 @@ def test_multihost_helpers_single_process():
     ga = multihost.global_batch(mesh, local)
     assert ga.shape == (8, 3)
     np.testing.assert_allclose(np.asarray(ga), local)
+
+
+def test_dryrun_multichip_bare_subprocess():
+    """Invoke __graft_entry__.dryrun_multichip(8) exactly the way the
+    driver does: a fresh interpreter with NO conftest and NO
+    XLA_FLAGS/JAX_PLATFORMS provisioning in the environment. Round 1
+    shipped this path broken (MULTICHIP_r01.json ok=false); this pins the
+    driver calling convention.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (proc.stdout + "\n" + proc.stderr)[-2000:]
+    assert "dryrun_multichip(8)" in proc.stdout
