@@ -105,6 +105,167 @@ def _conv_in_impl(x_cf, kernel, bias, dt=11, ht=4, interpret=False,
     return jnp.transpose(out, (0, 1, 3, 2))[None]
 
 
+def _build_w_select(w: int, w2: int) -> np.ndarray:
+    """(2, w, w2) 0/1 matrices folding the W-axis stride-2 deinterleave,
+    the -1 pad shift, AND the right-edge zero pad into one lane-dim dot:
+    ``compact_kw[w2] = sum_l x[l] * M[kw, l, w2]`` == x'[2*w2 + kw] with
+    x' the front-zero-padded row. Each column has at most one 1, so the
+    dot is exact in any precision."""
+    m = np.zeros((2, w, w2), np.float32)
+    for kw in range(2):
+        for o in range(w2):
+            l = 2 * o + kw - 1
+            if 0 <= l < w:
+                m[kw, l, o] = 1.0
+    return m
+
+
+def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
+                c, dt, gm, d, h, w, h2, w2, f):
+    """Grid step i computes output depth rows [i*dt, (i+1)*dt) directly
+    from the raw channel-first input: no XLA-side pad/reshape/transpose.
+
+    Mosaic rejects DMA slices whose minor dims are not 128-aligned, so the
+    -1 window shifts of the k=2/s=2/p=1 conv are realized without moving
+    data at all:
+
+      * D: even taps x[2z] live inside the tile's own (2dt)-row block;
+        odd taps x[2z-1] are the block's odd rows shifted by one output
+        row, with the tile's first odd tap carried across grid steps in
+        persistent VMEM scratch ``prev_ref`` (TPU grids run sequentially,
+        so step i-1's last block row is available without re-reading HBM).
+      * H: even/odd taps come from an unshifted sublane split (h/2, 2);
+        the +-1 output-row misalignment is repaired by zero-padding the
+        two per-parity accumulators on opposite ends (pad on a major dim,
+        cheap), which also realizes the H edge zero-padding.
+      * W: folded into an exact 0/1 selection-matrix dot on the MXU
+        (``_build_w_select``), which also realizes the W zero-padding.
+    """
+    i = pl.program_id(0)
+    hh = h // 2
+    main = main_ref[0]  # (C, 2dt, h, w)
+    f32 = jnp.float32
+
+    # The carried row is x[2*dt*i - 1] (compacted); at i == 0 it is the
+    # x[-1] pad.
+    @pl.when(i == 0)
+    def _init_carry():
+        prev_ref[:] = jnp.zeros(prev_ref.shape, prev_ref.dtype)
+
+    # Even-D tap validity: row 2*(i*dt + t) < d fails only on the final
+    # (one-real-row) tile, whose main block index map was clamped.
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, dt, 1, 1, 1), 1)
+    mask_e = (2 * (i * dt + t_iota) < d).astype(f32)
+
+    mainf = main.reshape(c * 2 * dt * h, w)
+    parts = [None, None]  # per-ky (dt*hh, f, w2) accumulators
+    for kw in range(2):
+        # W compaction FIRST, as one full-block dot per tap (the dot
+        # contracts only the lane dim, so it commutes with the D/H row
+        # selections; 2 large dots beat 32 small per-phase ones).
+        # Everything downstream works on w2 lanes.
+        comp = jax.lax.dot(
+            mainf, m_ref[kw].astype(mainf.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32)  # (c*2dt*h, w2)
+        cr = comp.reshape(c, dt, 2, hh, 2, w2)
+        even_d = cr[:, :, 0] * mask_e              # (c, dt, hh, 2, w2)
+        halo = prev_ref[kw][:, None]               # (c, 1, hh, 2, w2)
+        if dt > 1:
+            odd_d = jnp.concatenate(
+                [halo, cr[:, : dt - 1, 1]], axis=1)
+        else:
+            odd_d = halo
+        # Carry this block's compacted last row (read-before-write above).
+        prev_ref[kw] = cr[:, dt - 1, 1]
+        for kz, src in ((1, even_d), (0, odd_d)):
+            for ky in range(2):
+                # ky=1 -> even H rows src[...0.] (tap x[2y], y=0..hh-1);
+                # ky=0 -> odd rows src[...1.] (tap x[2y-1], y=1..hh).
+                ph = src[:, :, :, (ky + 1) % 2]    # (c, dt, hh, w2)
+                for ci in range(c):
+                    flat = ph[ci].reshape(dt * hh, w2)
+                    wv = w_ref[kz * 2 + ky, kw, ci].astype(f32)  # (F,)
+                    upd = flat[:, None, :] * wv[None, :, None]
+                    parts[ky] = upd if parts[ky] is None else (parts[ky]
+                                                               + upd)
+
+    pe = parts[1].reshape(dt, hh, f, w2)
+    po = parts[0].reshape(dt, hh, f, w2)
+    acc = (jnp.pad(pe, ((0, 0), (0, 1), (0, 0), (0, 0)))
+           + jnp.pad(po, ((0, 0), (1, 0), (0, 0), (0, 0))))
+    out = _selu(acc + b_ref[:][None, None, :, None].astype(f32))
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def raw_path_supported(shape) -> bool:
+    """The zero-prep kernel needs even D/H and batch 1 (W is free)."""
+    b, c, d, h, w = shape
+    return b == 1 and d % 2 == 0 and h % 2 == 0 and d >= 4 and h >= 2
+
+
+def _pick_dt(c, d, h, w, itemsize):
+    """Largest depth-tile dividing d/2 whose input block stays <= ~1.5 MB
+    (blocks are double-buffered by the pipeline; VMEM is ~16 MB)."""
+    best = 1
+    for dt in range(1, d // 2 + 1):
+        if (d // 2) % dt:
+            continue
+        if 2 * dt * c * h * w * itemsize <= 1.5e6:
+            best = dt
+    return best
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "dt", "channels_middle"))
+def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
+                      channels_middle=False):
+    """conv_in straight off the raw channel-first HBM tensor: the ~3 ms of
+    XLA-side pad + relayout passes of ``_conv_in_impl`` (docs/DESIGN.md
+    section 3) do not exist on this path."""
+    b, c, d, h, w = x_cf.shape
+    assert raw_path_supported(x_cf.shape)
+    f = kernel.shape[-1]
+    d2, h2, w2 = d // 2 + 1, h // 2 + 1, w // 2 + 1
+    hh_ = h // 2
+    if dt is None:
+        dt = _pick_dt(c, d, h, w, x_cf.dtype.itemsize)
+    gm = d // (2 * dt)   # number of distinct main blocks
+    grid = gm + 1        # final tile re-reads a clamped block (masked)
+
+    wk = jnp.stack([jnp.stack([kernel[dz, dy, dw] for dw in range(2)])
+                    for dz in range(2) for dy in range(2)])  # (4, 2, C, F)
+    msel = jnp.asarray(_build_w_select(w, w2))
+
+    kern = functools.partial(_raw_kernel, c=c, dt=dt, gm=gm, d=d, h=h,
+                             w=w, h2=h2, w2=w2, f=f)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((grid * dt, h2, f, w2), x_cf.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, c, 2 * dt, h, w),
+                         lambda i: (0, 0, jnp.minimum(i, gm - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 2, c, f), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, w, w2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dt, h2, f, w2), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, c, hh_, 2, w2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_cf, wk, bias, msel)
+    out = out[:d2]
+    if channels_middle:
+        return out[None]  # (1, D2, H2, F, W2): the kernel's native layout
+    return jnp.transpose(out, (0, 1, 3, 2))[None]
+
+
 def _reference_xla(x_cf, kernel, bias):
     """XLA reference implementation (also supplies the backward pass)."""
     y = jax.lax.conv_general_dilated(
@@ -114,22 +275,31 @@ def _reference_xla(x_cf, kernel, bias):
     return jax.nn.selu(y + bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _conv_in_vjp(x_cf, kernel, bias, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle):
+    if raw_path_supported(x_cf.shape):
+        return _conv_in_raw_impl(x_cf, kernel, bias, interpret=interpret,
+                                 channels_middle=channels_middle)
     d2 = x_cf.shape[2] // 2 + 1
     dt = min(11, d2)
-    return _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
-                         interpret=interpret)
+    out = _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
+                        interpret=interpret)
+    if channels_middle:
+        return jnp.transpose(out, (0, 1, 2, 4, 3))
+    return out
 
 
-def _conv_in_fwd(x_cf, kernel, bias, interpret):
-    return _conv_in_vjp(x_cf, kernel, bias, interpret), (x_cf, kernel, bias)
+def _conv_in_fwd(x_cf, kernel, bias, interpret, channels_middle):
+    return (_conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle),
+            (x_cf, kernel, bias))
 
 
-def _conv_in_bwd(interpret, res, g):
+def _conv_in_bwd(interpret, channels_middle, res, g):
     # Gradients via the (numerically matching) XLA formulation; the Pallas
     # kernel is only the forward fast path.
     x_cf, kernel, bias = res
+    if channels_middle:
+        g = jnp.transpose(g, (0, 1, 2, 4, 3))
     _, vjp = jax.vjp(_reference_xla, x_cf, kernel, bias)
     return vjp(g)
 
@@ -138,19 +308,24 @@ _conv_in_vjp.defvjp(_conv_in_fwd, _conv_in_bwd)
 
 
 def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
-                interpret=None) -> jax.Array:
+                interpret=None, channels_middle: bool = False) -> jax.Array:
     """Fused k=2/s=2/pad=1 conv + bias + SELU.
 
     Args:
         x_cf: channel-first input (1, C, D, H, W).
         kernel: (2, 2, 2, C, F) conv kernel (flax DHWIO layout).
         bias: (F,).
+        channels_middle: return (1, D2, H2, F, W2) -- the Pallas kernel's
+            native output layout -- instead of channels-last. This skips a
+            full relayout pass (~1.3 ms at flagship shapes); the consumer
+            (a 1x1 conv einsum) folds the layout change into its matmul.
 
     Returns:
-        Channels-last (1, D//2+1, H//2+1, W//2+1, F), matching
+        Channels-last (1, D//2+1, H//2+1, W//2+1, F) by default, matching
         ``ConvNormAct(F, kernel_size=2, strides=2)`` + SELU exactly.
         Differentiable (custom VJP; backward runs through XLA).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _conv_in_vjp(x_cf, kernel, bias, bool(interpret))
+    return _conv_in_vjp(x_cf, kernel, bias, bool(interpret),
+                        bool(channels_middle))

@@ -250,9 +250,12 @@ class HNOSegXS(nn.Module):
         in_dtype = x.dtype
 
         # Fused Pallas conv_in consumes the *channel-first* input directly
-        # (dense HBM layout) and emits the channels-last half-res grid; the
+        # (dense HBM layout) and emits the channels-last half-res grid (the
+        # trailing relayout from the kernel's native channels-middle layout
+        # is fused by XLA into conv1's einsum; measured faster than feeding
+        # conv1 channels-middle and transposing in its matmul). The
         # fallback transposes first and uses ConvNormAct. Parameters are
-        # identical in both branches (conv_in/conv/{kernel,bias}).
+        # identical in all branches (conv_in/conv/{kernel,bias}).
         conv_in_done = False
         if (self.use_resize and self.channel_first_io
                 and self._use_conv_in_kernel(x)):

@@ -53,13 +53,18 @@ class Conv(nn.Module):
     strides: Union[int, Sequence[int]] = 1
     use_bias: bool = True
     snn_init: bool = False
+    # -1: channels-last input (default). -2: channels-middle input
+    # (..., C, W) as emitted natively by the Pallas conv_in kernel; the
+    # einsum contracts C and emits channels-last, folding the layout
+    # change into the matmul instead of paying a separate relayout pass.
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         nd = x.ndim - 2
         k = _tuple(self.kernel_size, nd)
         s = _tuple(self.strides, nd)
-        in_features = x.shape[-1]
+        in_features = x.shape[self.channel_axis]
         fan_in = in_features * int(np.prod(k))
 
         w_init = (inits.kaiming_normal_linear(fan_in) if self.snn_init
@@ -70,9 +75,13 @@ class Conv(nn.Module):
             # 1x1 convs as einsums: lax.conv pays heavy lane padding for
             # the small channel counts of this model family.
             mat = kernel.reshape(in_features, self.features)
-            y = jnp.einsum("...i,io->...o", x, mat.astype(x.dtype),
+            sub = "...iw,io->...wo" if self.channel_axis == -2 \
+                else "...i,io->...o"
+            y = jnp.einsum(sub, x, mat.astype(x.dtype),
                            precision=_prec(x.dtype))
         else:
+            assert self.channel_axis == -1, \
+                "channel_axis=-2 only supported on the 1x1 einsum path"
             if all(st == 1 for st in s):
                 padding = "SAME"
             else:
@@ -214,6 +223,7 @@ class ConvNormAct(nn.Module):
     use_bias: bool = True
     activation: Union[str, None] = "selu"
     use_snn: bool = True
+    channel_axis: int = -1  # see Conv.channel_axis
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -222,7 +232,8 @@ class ConvNormAct(nn.Module):
                 "Self-normalizing neural network (SNN) must be used with SELU.")
         snn_init = self.use_snn and is_selu(self.activation)
         x = Conv(self.features, self.kernel_size, self.strides,
-                 use_bias=self.use_bias, snn_init=snn_init, name="conv")(x)
+                 use_bias=self.use_bias, snn_init=snn_init,
+                 channel_axis=self.channel_axis, name="conv")(x)
         if not self.use_snn:
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         act = get_activation(self.activation)
