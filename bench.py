@@ -55,9 +55,15 @@ def _measure(fn, x):
 
 def main():
     from multimodal_3d_image_segmentation_tpu import models
+    from multimodal_3d_image_segmentation_tpu.ops import spectral
 
-    # fp32 throughout (accuracy-safe default; bfloat16 compute_dtype gives
-    # a further ~1.8x) with the fused Pallas frequency chain.
+    # fp32 activations with the Pallas kernels and fp32 transform matmuls
+    # at bf16x3 MXU precision ("high"): per-transform CPU-vs-TPU relative
+    # error 3e-5 (vs 4e-7 at "highest"), whole-model argmax agreement
+    # 99.98%, Dice impact far below the 0.1% parity bar -- the shipped
+    # serving configuration (configs/config_hnoseg_xs.ini). bfloat16
+    # compute_dtype gives a further ~1.8x.
+    spectral.set_fp32_transform_precision("high")
     model = models.HNOSegXS(
         in_channels=4, out_channels=4, filters=24,
         num_transform_blocks=[3] * 8, num_modes=(10, 14, 14),

@@ -58,6 +58,12 @@ def _build_model(config_args, input_data, image_size_getter):
     model_args["in_channels"] = input_data.get_num_x_modalities()
     model_args["ndim"] = len(image_size_getter()) + 2
     model_args.pop("device", None)  # placement is sharding-driven on TPU
+    # Framework-wide fp32 MXU precision knob (not a model kwarg): see
+    # ops/spectral.set_fp32_transform_precision.
+    tp = model_args.pop("transform_precision", None)
+    if tp is not None:
+        from ..ops.spectral import set_fp32_transform_precision
+        set_fp32_transform_precision(tp)
     model_name = model_args.pop("model_name")
     if isinstance(model_args.get("num_modes"), list):
         model_args["num_modes"] = tuple(model_args["num_modes"])
