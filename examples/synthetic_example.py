@@ -108,6 +108,7 @@ loss_name = 'PCCLoss'
 [train]
 num_epochs = 20
 selection_epoch_portion = 0.5
+is_plot_model = True
 is_print = True
 
 [test]

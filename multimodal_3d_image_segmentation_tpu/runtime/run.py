@@ -80,11 +80,16 @@ def run(config_args):
     vis = config_args["main"].get("visible_devices")
     if vis is not None and "parallel" not in config_args:
         try:
-            idx = int(vis)
-            if 0 < idx < len(jax.devices()):
-                jax.config.update("jax_default_device", jax.devices()[idx])
+            idx = int(str(vis).strip())
         except (ValueError, TypeError):
-            pass
+            print(f"Warning: visible_devices={vis!r} is not an integer "
+                  "device index; ignored.")
+        else:
+            if 0 <= idx < len(jax.devices()):
+                jax.config.update("jax_default_device", jax.devices()[idx])
+            else:
+                print(f"Warning: visible_devices={idx} out of range for "
+                      f"{len(jax.devices())} device(s); ignored.")
 
     # Input data
     input_lists = copy.deepcopy(config_args["input_lists"])
@@ -160,8 +165,10 @@ def run(config_args):
         loss_name = loss_args.pop("loss_name")
         loss_fn = get_loss(loss_name, **loss_args)
 
-        train_args.pop("is_plot_model", None)
-        train_args.pop("use_autocast", None)
+        if train_args.pop("use_autocast", None):
+            print("Warning: [train] use_autocast is ignored; use "
+                  "[model] compute_dtype = 'bfloat16' for mixed precision "
+                  "on TPU.")
         params = training(model=model, input_data=input_data,
                           output_dir=output_dir, loss_fn=loss_fn, tx=tx,
                           mesh=mesh, augment_fn=augment_fn, **train_args)
@@ -190,7 +197,10 @@ def run(config_args):
     else:
         is_print = test_args.get("is_print", True)
     test_args.pop("is_print", None)
-    test_args.pop("use_autocast", None)
+    if test_args.pop("use_autocast", None):
+        print("Warning: [test] use_autocast is ignored; use "
+              "[model] compute_dtype = 'bfloat16' for mixed precision on "
+              "TPU.")
 
     if config_args["main"]["is_test"]:
         testing(model=model, params=params, input_data=input_data,

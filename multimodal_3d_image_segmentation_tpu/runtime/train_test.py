@@ -50,7 +50,7 @@ from .steps import (create_train_state, make_eval_step, make_predict_step,
                     make_train_step)
 
 __all__ = ["training", "testing", "plot_losses", "get_losses_from_file",
-           "save_model_summary", "save_output"]
+           "save_model_summary", "save_model_graph", "save_output"]
 
 
 class _Tee:
@@ -80,6 +80,70 @@ def save_model_summary(model, input_shape, path=None):
         with open(path, "w") as f:
             f.write(txt)
     return txt
+
+
+def _graph_rows(model, input_shape):
+    """Module-call rows (path tuple, type name, output shapes, #params)
+    traced shape-only via flax's summary machinery."""
+    from flax.linen import summary as flax_summary
+    table = flax_summary._get_module_table(
+        model, depth=None, show_repeated=False,
+        compute_flops=False, compute_vjp_flops=False)(
+        jax.random.PRNGKey(0), jnp.zeros(input_shape, jnp.float32))
+    rows = []
+    for row in table:
+        shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(
+            row.outputs) if hasattr(a, "shape")]
+        n_params = sum(
+            int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(
+                row.counted_variables) if hasattr(v, "shape"))
+        rows.append((row.path, type(row.module_copy).__name__, shapes,
+                     n_params))
+    return rows
+
+
+def save_model_graph(model, input_shape, path):
+    """Render the architecture as a call-graph PDF (``model_graph.pdf``).
+
+    TPU-native analog of the reference's torchview rendering
+    (``experiments/train_test.py:117-122``): one box per module call in
+    execution order, indented by module-tree depth, annotated with output
+    shapes and parameter counts; edges follow the execution order. The
+    trace is shape-only (``eval_shape`` under the hood) — nothing runs on
+    device.
+    """
+    rows = _graph_rows(model, input_shape)
+    n = len(rows)
+    box_h, gap = 0.7, 0.35
+    fig_h = max(2.0, n * (box_h + gap) + 1.0)
+    fig, ax = plt.subplots(figsize=(11, fig_h))
+    ax.set_axis_off()
+    depth_colors = ["#4c72b0", "#55a868", "#c44e52", "#8172b2", "#ccb974",
+                    "#64b5cd"]
+    centers = []
+    for i, (mpath, type_name, shapes, n_params) in enumerate(rows):
+        depth = len(mpath)
+        y = -i * (box_h + gap)
+        x = 0.5 * depth
+        label = ".".join(mpath) if mpath else model.__class__.__name__
+        shape_txt = ", ".join(str(s) for s in shapes) or "-"
+        text = f"{label}  [{type_name}]\nout: {shape_txt}"
+        if n_params:
+            text += f"   params: {n_params:,}"
+        color = depth_colors[depth % len(depth_colors)]
+        ax.text(x, y, text, fontsize=8, family="monospace",
+                verticalalignment="center",
+                bbox=dict(boxstyle="round,pad=0.35", facecolor="white",
+                          edgecolor=color, linewidth=1.4))
+        centers.append((x, y))
+    for (x0, y0), (x1, y1) in zip(centers, centers[1:]):
+        ax.annotate("", xy=(x1, y1 + box_h / 2), xytext=(x0, y0 - box_h / 2),
+                    arrowprops=dict(arrowstyle="->", color="#888888",
+                                    shrinkA=2, shrinkB=2))
+    ax.set_xlim(-0.5, 10.5)
+    ax.set_ylim(-n * (box_h + gap) - 0.5, box_h)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
 
 
 def save_output(y, data_lists_test, idx_sample, output_dir,
@@ -167,6 +231,13 @@ def training(model, input_data, output_dir, loss_fn, tx,
         except Exception as e:  # tabulate must never kill a run
             if is_print:
                 print(f"model summary failed: {e}")
+        if is_plot_model:  # reference's torchview model_graph.pdf
+            try:
+                save_model_graph(model, (1,) + input_shape[1:],
+                                 join(output_dir, "model_graph.pdf"))
+            except Exception as e:
+                if is_print:
+                    print(f"model graph failed: {e}")
 
     ckpt = AsyncCheckpointer()  # async saves: train loop never blocks on IO
     train_flow = input_data.get_train_flow(shuffle=True)
@@ -252,42 +323,56 @@ def training(model, input_data, output_dir, loss_fn, tx,
     return params
 
 
+#: Scalar-series patterns recoverable from a training log. Extend this dict
+#: to make additional per-epoch scalars plottable.
+LOG_SERIES = {
+    "train_loss": re.compile(r"\btrain_loss:\s*(\S+)"),
+    "valid_loss": re.compile(r"\bvalid_loss:\s*(\S+)"),
+}
+
+
 def get_losses_from_file(filename):
-    """Parse train/valid loss curves back out of stdout.txt
-    (reference ``experiments/train_test.py:289-302``)."""
+    """Recover the per-epoch loss series from a ``stdout.txt`` training log.
+
+    The log is the source of truth for the loss curves (same contract as
+    reference ``experiments/train_test.py``: the plot is reconstructed from
+    the log, so a resumed run's truncated log yields a consistent plot).
+    Returns ``(train_loss, valid_loss)`` lists of equal length.
+    """
+    series = {name: [] for name in LOG_SERIES}
     with open(filename) as f:
-        lines = f.readlines()
-    train_loss, valid_loss = [], []
-    for ln in lines:
-        if "train_loss" in ln:
-            train_loss.append(float(re.findall("train_loss: (.+)", ln)[0]))
-        elif "valid_loss" in ln:
-            valid_loss.append(float(re.findall("valid_loss: (.+)", ln)[0]))
-    assert len(train_loss) == len(valid_loss)
+        for line in f:
+            for name, pattern in LOG_SERIES.items():
+                m = pattern.search(line)
+                if m:
+                    series[name].append(float(m.group(1)))
+    train_loss, valid_loss = series["train_loss"], series["valid_loss"]
+    if len(train_loss) != len(valid_loss):
+        raise ValueError(
+            f"unbalanced loss log: {len(train_loss)} train_loss vs "
+            f"{len(valid_loss)} valid_loss entries in {filename}")
     return train_loss, valid_loss
 
 
 def plot_losses(num_epochs, start_plot_epoch, losses, styles, labels,
                 output_file):
-    """Loss-curve PDF (reference ``experiments/train_test.py:305-329``)."""
-    fig, ax = plt.subplots()
-    fig.set_size_inches(10, 5)
-    x = np.arange(num_epochs)[start_plot_epoch:]
-    for i in range(len(losses)):
-        y = losses[i][start_plot_epoch:]
-        ax.plot(x[:len(y)], y, styles[i], label=labels[i])
-    plt.xlabel("Epoch")
-    plt.ylabel("Value")
-    ax.xaxis.label.set_fontsize(20)
-    ax.yaxis.label.set_fontsize(20)
-    ax.tick_params(labelsize=20)
-    plt.grid(which="both")
-    legend = ax.legend(loc="upper right", fancybox=True, framealpha=0.8,
-                       ncol=1)
-    for label in legend.get_texts():
-        label.set_fontsize(20)
-    for label in legend.get_lines():
-        label.set_linewidth(1.5)
+    """Write the loss-curve figure (``plot_loss.pdf`` artifact).
+
+    Same artifact role as the reference's loss plot; rendering is our own.
+    ``losses`` is a sequence of per-epoch series; epochs before
+    ``start_plot_epoch`` are omitted (early epochs dominate the y-range).
+    """
+    fig, ax = plt.subplots(figsize=(10, 5))
+    epochs = np.arange(num_epochs)
+    for series, style, label in zip(losses, styles, labels):
+        y = np.asarray(series)[start_plot_epoch:num_epochs]
+        ax.plot(epochs[start_plot_epoch:start_plot_epoch + len(y)], y,
+                style, label=label)
+    ax.set_xlabel("Epoch", fontsize=16)
+    ax.set_ylabel("Value", fontsize=16)
+    ax.tick_params(labelsize=14)
+    ax.grid(True, which="both", alpha=0.5)
+    ax.legend(loc="upper right", fontsize=14)
     fig.savefig(output_file, bbox_inches="tight")
     plt.close(fig)
 

@@ -235,3 +235,34 @@ def test_native_fallback_equivalence():
     manual = (d - sel.mean()) / sel.std()
     manual[d == 0] = 0
     np.testing.assert_allclose(want, manual, atol=2e-5)
+
+
+def test_shipped_split_examples():
+    """Frozen split-example corpus (examples/split_examples): disjoint by
+    patient ID, consistent across modalities, full 1251-case coverage."""
+    import re
+    root = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "split_examples")
+    modalities = ["t1c", "t1n", "t2f", "t2w", "seg"]
+    splits = {"train-0.6": 751, "valid-0.1": 125, "test-0.3": 375}
+
+    def ids_of(path):
+        with open(path) as f:
+            return [re.search(r"/(BraTS-GLI-\d+-\d+)/", ln).group(1)
+                    for ln in f if ln.strip()]
+
+    per_split = {}
+    for split, n in splits.items():
+        ref_ids = None
+        for m in modalities:
+            ids = ids_of(os.path.join(root, f"{m}_{split}.txt"))
+            assert len(ids) == n
+            if ref_ids is None:
+                ref_ids = ids
+            else:  # same IDs in the same order for every modality
+                assert ids == ref_ids
+        per_split[split] = set(ref_ids)
+
+    all_ids = set().union(*per_split.values())
+    assert len(all_ids) == 1251
+    assert sum(len(s) for s in per_split.values()) == 1251  # disjoint

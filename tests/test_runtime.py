@@ -228,3 +228,52 @@ def test_transform_precision_knob():
         assert spectral.PRECISION == _jax.lax.Precision.HIGHEST
     finally:
         spectral.PRECISION = orig
+
+
+def test_save_model_graph(tmp_path):
+    """model_graph.pdf artifact (reference train_test.py:117-122 analog)."""
+    from multimodal_3d_image_segmentation_tpu.runtime.train_test import (
+        save_model_graph)
+    model = models.HNOSegXS(in_channels=4, out_channels=4, filters=8,
+                            num_transform_blocks=[1, 1], num_modes=(3, 3, 3))
+    out = tmp_path / "model_graph.pdf"
+    save_model_graph(model, (1, 4, 16, 16, 16), str(out))
+    assert out.stat().st_size > 1000
+
+
+def test_loss_log_roundtrip(tmp_path):
+    from multimodal_3d_image_segmentation_tpu.runtime.train_test import (
+        get_losses_from_file, plot_losses)
+    log = tmp_path / "stdout.txt"
+    log.write_text("".join(
+        f"Epoch: {i}\ntrain_loss: {1.0 / (i + 1)}\nvalid_loss: {1.5 / (i + 1)}\n"
+        for i in range(4)))
+    train, valid = get_losses_from_file(str(log))
+    assert train == [1.0, 0.5, 1.0 / 3, 0.25]
+    assert valid == [1.5, 0.75, 0.5, 0.375]
+    pdf = tmp_path / "plot_loss.pdf"
+    plot_losses(4, 1, [train, valid], ["r", "b--"], ["Train", "Valid"],
+                str(pdf))
+    assert pdf.stat().st_size > 500
+
+    log.write_text("train_loss: 1.0\n")  # unbalanced -> hard error
+    with pytest.raises(ValueError):
+        get_losses_from_file(str(log))
+
+
+def test_2d_config_builds_and_runs():
+    """Shipped 2D (ndim=4) config constructs and applies its model."""
+    from multimodal_3d_image_segmentation_tpu.runtime.run import _build_model
+
+    cfg = get_config("configs/config_fnoseg_2d.ini")
+
+    class FakeInput:
+        def get_num_x_modalities(self):
+            return 1
+
+    model = _build_model(cfg, FakeInput(), lambda: (256, 256))
+    assert model.ndim == 4
+    x = jnp.zeros((2, 1, 64, 64), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 4, 64, 64)

@@ -1,31 +1,53 @@
-"""Training-step throughput benchmark (forward+backward+Adamax update)
-for HNOSeg-XS at the BraTS'23 training resolution 120x120x78."""
-import sys
-sys.path.insert(0, "/root/repo")
+"""Training-step benchmark (forward+backward+Adamax update) for HNOSeg-XS.
 
+Two measurement modes:
+
+  * device step time at the BraTS'23 training resolution 120x120x78
+    (fp32 and bf16), on whatever backend JAX selects (the TPU chip);
+  * data-parallel weak scaling on an n-device virtual CPU mesh
+    (per-device batch fixed at 1, global batch = n) — validates that the
+    sharded step's collectives scale, independent of TPU availability.
+
+``python tools/bench_train.py --artifact`` regenerates the committed
+``BENCH_TRAIN.json`` at the repo root (VERDICT r1 item 9: training-perf
+claims must be reproducible artifacts, not README prose).
+
+Timing uses the chained-fori_loop + scalar-readback protocol
+(see ``utils/profiling.py``): per-dispatch wall clock is unreliable
+through the PJRT relay.
+"""
+import sys
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
+import argparse
 import functools
+import json
+import os
+import subprocess
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
-
-from multimodal_3d_image_segmentation_tpu import losses, models
-from multimodal_3d_image_segmentation_tpu.runtime import (build_optimizer,
-                                                          create_train_state)
-from multimodal_3d_image_segmentation_tpu.utils.labels import to_categorical
 
 SHAPE = (1, 4, 120, 120, 78)
+DP_SHAPE = (1, 4, 48, 48, 32)  # per-device batch for the CPU scaling mode
 N_SHORT, N_LONG = 2, 8
 
 
-def main(compute_dtype="float32", use_remat=False):
+def _build(compute_dtype, shape, use_remat=False):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_3d_image_segmentation_tpu import losses, models
+    from multimodal_3d_image_segmentation_tpu.runtime import (
+        build_optimizer, create_train_state)
+    from multimodal_3d_image_segmentation_tpu.utils.labels import (
+        to_categorical)
+
     model = models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14),
                             compute_dtype=compute_dtype, use_remat=use_remat)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     y1h = to_categorical(jnp.asarray(
-        rng.integers(0, 4, (1, 1) + SHAPE[2:]).astype(np.int32)), 4)
+        rng.integers(0, 4, (shape[0], 1) + shape[2:]).astype(np.int32)), 4)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
     tx = build_optimizer({"optimizer_name": "Adamax", "lr": 5e-3})
     state = create_train_state(model, params, tx)
@@ -36,27 +58,112 @@ def main(compute_dtype="float32", use_remat=False):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads=grads), loss
 
+    return state, x, one_step
+
+
+def _timed_step_ms(state, x, one_step, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
     def loop(n, state, x):
         def body(_, carry):
             st, xc, acc = carry
             st, loss = one_step(st, xc)
             return st, xc + loss * 1e-9, acc + loss
-        st, _, acc = jax.lax.fori_loop(0, n, body,
-                                       (state, x, jnp.float32(0)))
+        _, _, acc = jax.lax.fori_loop(0, n, body, (state, x, jnp.float32(0)))
         return acc
 
     short = jax.jit(functools.partial(loop, N_SHORT))
     long = jax.jit(functools.partial(loop, N_LONG))
-    float(short(state, x)); float(long(state, x))
+    float(short(state, x)); float(long(state, x))  # compile
     ts, tl = [], []
-    for _ in range(3):
-        t0 = time.perf_counter(); float(short(state, x)); ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(long(state, x)); tl.append(time.perf_counter() - t0)
-    ms = (np.median(tl) - np.median(ts)) / (N_LONG - N_SHORT) * 1e3
-    print(f"train step {compute_dtype} remat={use_remat}: {ms:.2f} ms/step "
-          f"({1000/ms:.1f} steps/s) at {SHAPE}")
+    for _ in range(repeats):
+        t0 = time.perf_counter(); float(short(state, x))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(long(state, x))
+        tl.append(time.perf_counter() - t0)
+    return (np.median(tl) - np.median(ts)) / (N_LONG - N_SHORT) * 1e3
+
+
+def bench_device(compute_dtype):
+    import jax
+    state, x, one_step = _build(compute_dtype, SHAPE)
+    ms = _timed_step_ms(state, x, one_step)
+    return {"mode": "device_step", "backend": jax.default_backend(),
+            "compute_dtype": compute_dtype, "shape": list(SHAPE),
+            "ms_per_step": round(float(ms), 2),
+            "steps_per_sec": round(1000.0 / ms, 2)}
+
+
+def dp_worker(n_devices):
+    """Weak-scaling step time on an n-device virtual CPU mesh."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from multimodal_3d_image_segmentation_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated)
+
+    shape = (n_devices,) + DP_SHAPE[1:]
+    state, x, one_step = _build("float32", shape)
+    mesh = make_mesh(n_data=n_devices)
+    state = jax.device_put(state, replicated(mesh))
+    x = jax.device_put(x, batch_sharding(mesh, x.shape))
+    ms = _timed_step_ms(state, x, one_step, repeats=2)
+    print(json.dumps({
+        "mode": "dp_weak_scaling", "backend": "cpu_virtual",
+        "n_devices": n_devices, "global_shape": list(shape),
+        "ms_per_step": round(float(ms), 2)}))
+
+
+def make_artifact(out_path):
+    results = [bench_device("float32"), bench_device("bfloat16")]
+    for r in results:
+        print(json.dumps(r))
+    scaling = []
+    for n in (1, 2, 4, 8):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--dp-worker",
+             str(n)],
+            capture_output=True, text=True, timeout=1200,
+            cwd="/root/repo")
+        line = proc.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        print(json.dumps(rec))
+        scaling.append(rec)
+    base = scaling[0]["ms_per_step"]
+    for rec in scaling:
+        # weak scaling: ideal efficiency keeps ms_per_step flat as the
+        # global batch grows with the device count
+        rec["weak_scaling_efficiency"] = round(base / rec["ms_per_step"], 3)
+    artifact = {
+        "protocol": "chained fori_loop, scalar readback, "
+                    "median of (long-short)/(N_LONG-N_SHORT)",
+        "device_step": results,
+        "dp_weak_scaling": scaling,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp-worker", type=int, default=None)
+    ap.add_argument("--artifact", action="store_true")
+    ap.add_argument("--out", default="/root/repo/BENCH_TRAIN.json")
+    args = ap.parse_args()
+    if args.dp_worker:
+        dp_worker(args.dp_worker)
+    elif args.artifact:
+        make_artifact(args.out)
+    else:
+        for dtype in ("float32", "bfloat16"):
+            print(json.dumps(bench_device(dtype)))
 
 
 if __name__ == "__main__":
-    main("float32")
-    main("bfloat16")
+    main()
