@@ -2,22 +2,21 @@
 
 Re-design of reference ``experiments/metrics.py:22-176``. The reference
 delegates surface distances to DeepMind's ``surface-distance`` package; here
-they are implemented natively on scipy:
+they are implemented natively:
 
-  * surfaces are extracted as border voxels (mask XOR its erosion);
-  * distances between surfaces use the exact Euclidean distance transform
-    (``scipy.ndimage.distance_transform_edt``) with anisotropic ``sampling``
-    = voxel spacing;
-  * surface Dice at tolerance t = fraction of surface voxels of each mask
-    within t of the other surface (averaged as in Nikolov et al.);
-  * robust Hausdorff = the given percentile of the symmetric surface
-    distance distribution.
+  * default ``method='subvoxel'``: marching-cubes surfel construction
+    (``surfels.py``) — every 2x2x2 cell crossed by the boundary carries an
+    area-weighted surface element, distances are measured between the
+    surfel grids with the exact anisotropic Euclidean distance transform,
+    and surface Dice / robust Hausdorff are surfel-area weighted. This is
+    the same surface model as the package the reference calls (Nikolov et
+    al.), so published surface-Dice/HD95 protocols are reproduced;
+  * ``method='voxel'``: the classic border-voxel estimator (mask XOR its
+    erosion, unweighted distances), kept as a cheap fallback (MedPy-style).
 
-This is the standard voxel-based estimator (as in MedPy); it differs from
-DeepMind's subvoxel surfel construction by O(voxel) quantization, identical
-in the evaluation limit and monotone in segmentation quality. HD95 keeps
-the reference's ``binary_opening`` prediction denoising
-(``experiments/metrics.py:158-163``).
+HD95 keeps the reference's ``binary_opening`` prediction denoising
+(``experiments/metrics.py:158-163``); surface-Dice tolerance stays
+``mean(spacing)`` (``experiments/metrics.py:151-155``).
 
 Output artifacts (``results_regional.csv`` TSV, ``average_results_regional
 .txt`` masked mean/std) are format-compatible with the reference.
@@ -36,10 +35,12 @@ import pandas as pd
 import scipy.ndimage
 
 from .data.nifti import read_image
+from .surfels import compute_surface_distances_subvoxel
 
 __all__ = ["dice_binary", "surface_dice_binary", "hd95_binary",
            "get_labels_union", "compute_regional_metrics",
-           "statistics_regional", "compute_surface_distances"]
+           "statistics_regional", "compute_surface_distances",
+           "compute_surface_dice_at_tolerance", "compute_robust_hausdorff"]
 
 
 def _border(mask: np.ndarray) -> np.ndarray:
@@ -53,12 +54,21 @@ def _border(mask: np.ndarray) -> np.ndarray:
 
 
 def compute_surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray,
-                              spacing_mm: Sequence[float]):
-    """Distances from each surface voxel of one mask to the other surface.
+                              spacing_mm: Sequence[float],
+                              method: str = "subvoxel"):
+    """Surface-to-surface distance distributions between two binary masks.
 
-    Returns dict with ``distances_gt_to_pred`` and ``distances_pred_to_gt``
-    (1D arrays, mm).
+    ``method='subvoxel'`` (default): marching-cubes surfels — returns
+    ``distances_gt_to_pred`` / ``distances_pred_to_gt`` sorted ascending
+    plus aligned ``surfel_areas_gt`` / ``surfel_areas_pred`` weights, the
+    contract of the ``surface-distance`` package the reference uses.
+    ``method='voxel'``: border-voxel distances, no area weights.
     """
+    if method == "subvoxel":
+        return compute_surface_distances_subvoxel(mask_gt, mask_pred,
+                                                  spacing_mm)
+    if method != "voxel":
+        raise ValueError(f"unknown surface-distance method: {method!r}")
     border_gt = _border(mask_gt.astype(bool))
     border_pred = _border(mask_pred.astype(bool))
 
@@ -83,21 +93,45 @@ def compute_surface_distances(mask_gt: np.ndarray, mask_pred: np.ndarray,
 
 
 def compute_surface_dice_at_tolerance(surface_distances, tolerance_mm):
+    """Fraction of the combined surface within tolerance of the other
+    surface — surfel-area weighted when the distances carry areas
+    (subvoxel method), per-voxel otherwise."""
     d_g2p = surface_distances["distances_gt_to_pred"]
     d_p2g = surface_distances["distances_pred_to_gt"]
-    n = len(d_g2p) + len(d_p2g)
-    if n == 0:
+    a_gt = surface_distances.get("surfel_areas_gt")
+    a_pred = surface_distances.get("surfel_areas_pred")
+    if a_gt is None:
+        a_gt = np.ones_like(d_g2p)
+        a_pred = np.ones_like(d_p2g)
+    total = a_gt.sum() + a_pred.sum()
+    if total == 0:
         return np.nan
-    overlap = (np.count_nonzero(d_g2p <= tolerance_mm)
-               + np.count_nonzero(d_p2g <= tolerance_mm))
-    return overlap / n
+    overlap = (a_gt[d_g2p <= tolerance_mm].sum()
+               + a_pred[d_p2g <= tolerance_mm].sum())
+    return overlap / total
+
+
+def _weighted_percentile(distances, weights, percentile):
+    """Distance below which ``percentile`` % of the surface (by weight)
+    lies; distances must be sorted ascending with aligned weights."""
+    if len(distances) == 0:
+        return np.inf
+    cum = np.cumsum(weights)
+    cum = cum / cum[-1]
+    idx = int(np.searchsorted(cum, percentile / 100.0))
+    return float(distances[min(idx, len(distances) - 1)])
 
 
 def compute_robust_hausdorff(surface_distances, percentile):
     d_g2p = surface_distances["distances_gt_to_pred"]
     d_p2g = surface_distances["distances_pred_to_gt"]
+    a_gt = surface_distances.get("surfel_areas_gt")
+    a_pred = surface_distances.get("surfel_areas_pred")
     if len(d_g2p) == 0 or len(d_p2g) == 0:
         return np.inf
+    if a_gt is not None:
+        return max(_weighted_percentile(d_g2p, a_gt, percentile),
+                   _weighted_percentile(d_p2g, a_pred, percentile))
     return max(np.percentile(d_g2p, percentile),
                np.percentile(d_p2g, percentile))
 

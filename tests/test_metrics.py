@@ -91,3 +91,133 @@ def test_statistics_regional_outputs(tmp_path):
                                region_labels=[[0], [1, 2]], is_print=False,
                                nproc=2)
     np.testing.assert_allclose(out2["dice"], out["dice"])
+
+
+# ---------------------------------------------------------------------------
+# Subvoxel surfel construction (surfels.py) — closed-form golden cases
+# ---------------------------------------------------------------------------
+
+def test_surfel_table_closed_forms():
+    from multimodal_3d_image_segmentation_tpu.surfels import (
+        neighbour_code_to_surface_area)
+    t = neighbour_code_to_surface_area((1.0, 1.0, 1.0))
+    assert t[0] == 0.0 and t[255] == 0.0
+    # one corner inside: triangle over three edge midpoints = sqrt(3)/8
+    for c in range(8):
+        assert t[1 << c] == pytest.approx(np.sqrt(3) / 8)
+        # one corner OUTSIDE: same cut, same polygon
+        assert t[255 ^ (1 << c)] == pytest.approx(np.sqrt(3) / 8)
+    # half cell (one face's corners inside): unit midplane
+    assert t[0b11110000] == pytest.approx(1.0)
+    assert t[0b00001111] == pytest.approx(1.0)
+    # adjacent corner pair: planar quad of area sqrt(2)/2
+    assert t[0b11000000] == pytest.approx(np.sqrt(2) / 2)
+
+    # anisotropic scaling: midplane cut normal to d has area h*w spacing
+    ta = neighbour_code_to_surface_area((2.0, 3.0, 5.0))
+    assert ta[0b11110000] == pytest.approx(3.0 * 5.0)
+
+
+def test_surfel_table_rotation_equivariant():
+    """Total area must be invariant under the 24 cube rotations."""
+    import itertools
+    from multimodal_3d_image_segmentation_tpu.surfels import (
+        neighbour_code_to_surface_area)
+    t = neighbour_code_to_surface_area((1.0, 1.0, 1.0))
+    corners = [np.array(c) for c in itertools.product((0, 1), repeat=3)]
+    mats = []
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product((1, -1), repeat=3):
+            m = np.zeros((3, 3), int)
+            for r, (p, s) in enumerate(zip(perm, signs)):
+                m[r, p] = s
+            if round(np.linalg.det(m)) == 1:
+                mats.append(m)
+    assert len(mats) == 24
+
+    def rotate_code(code, m):
+        out = 0
+        for c in range(8):
+            if (code >> (7 - c)) & 1:
+                q = m @ (corners[c] - 0.5) + 0.5
+                out |= 1 << (7 - (int(q[0]) * 4 + int(q[1]) * 2 + int(q[2])))
+        return out
+
+    for m in mats:
+        for code in range(256):
+            assert t[code] == pytest.approx(t[rotate_code(code, m)],
+                                            abs=1e-12)
+
+
+def test_surfel_map_single_voxel_and_slab():
+    from multimodal_3d_image_segmentation_tpu.surfels import surfel_map
+    m = np.zeros((7, 7, 7), bool)
+    m[3, 3, 3] = True  # octahedron around one voxel: 8 corner triangles
+    assert surfel_map(m, (1, 1, 1)).sum() == pytest.approx(np.sqrt(3))
+
+    # interior slab: two 5x5 midplanes + 4 sides of 2x5 + rounded rims;
+    # exact total derivable per cell row, sanity-bound it instead
+    s = np.zeros((9, 9, 9), bool)
+    s[3:5, 2:7, 2:7] = True
+    area = surfel_map(s, (1, 1, 1)).sum()
+    assert 2 * 25 < area < 2 * 25 + 4 * 10 + 20
+
+
+def test_subvoxel_distances_parallel_planes():
+    """gt slab vs 1-voxel-shifted slab: plane-to-plane distances are 1mm
+    on the face sheets; surface dice at tol>=1 is 1, at tol<1 is < 1."""
+    from multimodal_3d_image_segmentation_tpu.metrics import (
+        compute_robust_hausdorff, compute_surface_dice_at_tolerance,
+        compute_surface_distances)
+    a = np.zeros((16, 16, 16), bool)
+    a[4:8, 4:12, 4:12] = True
+    b = np.roll(a, 1, axis=0)
+    d = compute_surface_distances(a, b, (1.0, 1.0, 1.0))
+    assert set(d) >= {"distances_gt_to_pred", "distances_pred_to_gt",
+                      "surfel_areas_gt", "surfel_areas_pred"}
+    # sorted ascending with aligned weights
+    assert np.all(np.diff(d["distances_gt_to_pred"]) >= 0)
+    assert len(d["surfel_areas_gt"]) == len(d["distances_gt_to_pred"])
+    assert d["distances_gt_to_pred"].max() == pytest.approx(1.0)
+    assert compute_surface_dice_at_tolerance(d, 1.0) == pytest.approx(1.0)
+    assert compute_surface_dice_at_tolerance(d, 0.4) < 1.0
+    assert compute_robust_hausdorff(d, 100) == pytest.approx(1.0)
+    assert compute_robust_hausdorff(d, 50) <= 1.0
+
+    # empty prediction -> inf distances
+    d0 = compute_surface_distances(a, np.zeros_like(a), (1, 1, 1))
+    assert np.isinf(d0["distances_gt_to_pred"]).all()
+    assert len(d0["distances_pred_to_gt"]) == 0
+    assert compute_robust_hausdorff(d0, 95) == np.inf
+
+
+def test_voxel_method_still_available():
+    from multimodal_3d_image_segmentation_tpu.metrics import (
+        compute_surface_dice_at_tolerance, compute_surface_distances)
+    a = np.zeros((10, 10, 10), bool)
+    a[3:7, 3:7, 3:7] = True
+    d = compute_surface_distances(a, a, (1, 1, 1), method="voxel")
+    assert "surfel_areas_gt" not in d
+    assert compute_surface_dice_at_tolerance(d, 0.0) == 1.0
+    with pytest.raises(ValueError):
+        compute_surface_distances(a, a, (1, 1, 1), method="nope")
+
+
+def test_subvoxel_matches_surface_distance_package():
+    """Bit-parity with DeepMind's surface-distance package when installed
+    (not in this image; the golden cases above pin the construction)."""
+    sd_pkg = pytest.importorskip("surface_distance")
+    from multimodal_3d_image_segmentation_tpu.metrics import (
+        compute_robust_hausdorff, compute_surface_dice_at_tolerance,
+        compute_surface_distances)
+    rng = np.random.default_rng(0)
+    a = rng.random((24, 20, 22)) > 0.7
+    b = rng.random((24, 20, 22)) > 0.7
+    ours = compute_surface_distances(a, b, (1.0, 1.5, 0.8))
+    theirs = sd_pkg.compute_surface_distances(a, b, (1.0, 1.5, 0.8))
+    np.testing.assert_allclose(
+        compute_surface_dice_at_tolerance(ours, 1.2),
+        sd_pkg.compute_surface_dice_at_tolerance(theirs, 1.2), rtol=1e-9)
+    np.testing.assert_allclose(
+        compute_robust_hausdorff(ours, 95),
+        sd_pkg.compute_robust_hausdorff(theirs, 95), rtol=1e-9)

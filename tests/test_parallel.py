@@ -118,3 +118,56 @@ def test_dryrun_multichip_bare_subprocess():
         cwd=repo, env=env, capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, (proc.stdout + "\n" + proc.stderr)[-2000:]
     assert "dryrun_multichip(8)" in proc.stdout
+
+
+def test_multihost_two_process_train_step(tmp_path):
+    """REAL multi-process path: two workers (4 virtual CPU devices each)
+    join via jax.distributed.initialize, lift process-local batches with
+    multihost.global_batch, and run one DP train step — the loss and
+    updated params must match a single-process 8-device run of the same
+    global batch (exercises parallel/multihost.py end to end)."""
+    import os
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    out_json = str(tmp_path / "proc0.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coordinator, "2", str(i), out_json],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    with open(out_json) as f:
+        result = json.load(f)
+    assert result["devices"] == 8
+
+    # single-process oracle on the in-process 8-device mesh
+    from tests.multihost_common import build_step, global_data
+    x_all, y_all = global_data()
+    mesh = make_mesh(n_data=8)
+    x = jax.device_put(jnp.asarray(x_all), batch_sharding(mesh, x_all.shape))
+    y = jax.device_put(jnp.asarray(y_all), batch_sharding(mesh, y_all.shape))
+    state, step = build_step()
+    state = jax.device_put(state, replicated(mesh))
+    state, loss = step(state, x, y)
+    fp = float(sum(jnp.sum(jnp.abs(p)) for p in
+                   jax.tree_util.tree_leaves(state.params)))
+
+    np.testing.assert_allclose(result["loss"], float(loss), rtol=1e-5)
+    np.testing.assert_allclose(result["param_fingerprint"], fp, rtol=1e-5)
