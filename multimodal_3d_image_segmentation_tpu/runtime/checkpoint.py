@@ -24,7 +24,8 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "save_params",
-           "load_params", "AsyncCheckpointer"]
+           "load_params", "AsyncCheckpointer", "OrbaxCheckpointer",
+           "make_checkpointer"]
 
 _MAGIC = b"M3SGCKPT"
 
@@ -101,6 +102,15 @@ class AsyncCheckpointer:
             self._thread.join()
             self._thread = None
 
+    def load(self, path, state):
+        return load_checkpoint(path, state)
+
+    def exists(self, path) -> bool:
+        return os.path.exists(path)
+
+    def close(self) -> None:
+        self.wait()
+
 
 def save_params(path, params) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -114,3 +124,95 @@ def load_params(path, params_template):
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(params_template, restored)
+
+
+class OrbaxCheckpointer:
+    """Sharded async checkpointing via Orbax (TPU-pod path).
+
+    Same interface as ``AsyncCheckpointer`` so ``training`` can swap
+    backends, but arrays are saved **per shard** (each host writes only
+    its addressable shards, OCDBT/tensorstore format) and restored with
+    their shardings — the multi-host-safe equivalent the msgpack backend
+    (single-host, fully-replicated) cannot provide. SURVEY §5.4's
+    'Orbax-style async sharded saves'.
+
+    Layout: ``<path>.orbax/`` directory per checkpoint; metadata rides as
+    a JSON item next to the state.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+
+    def _dir(self, path):
+        return os.path.abspath(path) + ".orbax"
+
+    def save(self, path, state, epoch, min_loss, best_epoch):
+        ocp = self._ocp
+        meta = {"epoch": int(epoch), "min_loss": float(min_loss),
+                "best_epoch": -1 if best_epoch is None else int(best_epoch),
+                "step": int(state.step)}
+        from flax import serialization as ser
+        self._ckptr.save(
+            self._dir(path),
+            args=ocp.args.Composite(
+                state=ocp.args.PyTreeSave(ser.to_state_dict(state)),
+                meta=ocp.args.JsonSave(meta)),
+            force=True)
+
+    def save_params(self, path, params):
+        ocp = self._ocp
+        self._ckptr.save(self._dir(path),
+                         args=ocp.args.Composite(
+                             state=ocp.args.PyTreeSave(params)),
+                         force=True)
+
+    def load(self, path, state):
+        """Restore (state, epoch, min_loss, best_epoch); arrays come back
+        with ``state``'s shardings."""
+        ocp = self._ocp
+        from flax import serialization as ser
+        template = ser.to_state_dict(state)
+        restored = self._ckptr.restore(
+            self._dir(path),
+            args=ocp.args.Composite(
+                state=ocp.args.PyTreeRestore(
+                    restore_args=self._ocp.checkpoint_utils.construct_restore_args(
+                        template)),
+                meta=ocp.args.JsonRestore()))
+        meta = restored["meta"]
+        state = ser.from_state_dict(state, restored["state"])
+        best = None if meta["best_epoch"] < 0 else int(meta["best_epoch"])
+        return state, int(meta["epoch"]), float(meta["min_loss"]), best
+
+    def load_params(self, path, params_template):
+        ocp = self._ocp
+        restored = self._ckptr.restore(
+            self._dir(path),
+            args=ocp.args.Composite(
+                state=ocp.args.PyTreeRestore(
+                    restore_args=self._ocp.checkpoint_utils.construct_restore_args(
+                        params_template))))
+        return restored["state"]
+
+    def exists(self, path):
+        return os.path.isdir(self._dir(path))
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        self._ckptr.close()
+
+
+def make_checkpointer(backend: str = "msgpack"):
+    """Checkpoint backend factory: 'msgpack' (single-host, replicated) or
+    'orbax' (multi-host sharded async saves). Both expose save / load /
+    save_params / exists / wait / close."""
+    if backend == "msgpack":
+        return AsyncCheckpointer()
+    if backend == "orbax":
+        return OrbaxCheckpointer()
+    raise ValueError(f"unknown checkpoint backend: {backend!r} "
+                     "(expected 'msgpack' or 'orbax')")

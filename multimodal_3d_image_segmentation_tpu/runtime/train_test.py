@@ -44,7 +44,8 @@ from ..data.nifti import write_image
 from ..parallel.mesh import batch_sharding, replicated
 from ..utils.labels import remap_labels
 from ..utils.prefetch import device_prefetch
-from .checkpoint import (AsyncCheckpointer, load_checkpoint, load_params,
+from .checkpoint import (AsyncCheckpointer, load_params,
+                         make_checkpointer,
                          save_params)
 from .steps import (create_train_state, make_eval_step, make_predict_step,
                     make_train_step)
@@ -162,12 +163,17 @@ def training(model, input_data, output_dir, loss_fn, tx,
              label_mapping=None, num_epochs=100,
              selection_epoch_portion=0.8, checkpoint_epoch=10,
              is_plot_model=False, is_print=True, plot_epoch_portion=None,
-             mesh=None, seed=0, params=None, augment_fn=None):
+             mesh=None, seed=0, params=None, augment_fn=None,
+             checkpoint_backend="msgpack"):
     """Train a model; returns the final (best-on-valid) params.
 
     Args mirror the reference ``training``
     (``experiments/train_test.py:31-68``); ``tx`` is the optax optimizer
     (schedule already bound), ``mesh`` optionally distributes the step.
+    ``checkpoint_backend``: 'msgpack' (default) or 'orbax' (multi-host
+    sharded async saves) for the train-state checkpoint; the weights-only
+    ``model/model.msgpack`` export stays msgpack either way (it is the
+    single-file inference artifact).
     """
     model_dir = join(output_dir, "model")
     model_path = join(model_dir, "model.msgpack")
@@ -193,9 +199,14 @@ def training(model, input_data, output_dir, loss_fn, tx,
                                  augment_fn=augment_fn, augment_seed=seed)
     eval_step = make_eval_step(loss_fn, num_labels, label_mapping)
 
-    if os.path.exists(chkpt_path):
-        state, epoch, min_loss, best_epoch = load_checkpoint(chkpt_path,
-                                                             state)
+    # async saves: train loop never blocks on IO; the weights-only export
+    # keeps the msgpack writer regardless of the state-checkpoint backend
+    ckpt = make_checkpointer(checkpoint_backend)
+    params_ckpt = ckpt if checkpoint_backend == "msgpack" \
+        else AsyncCheckpointer()
+
+    if ckpt.exists(chkpt_path):
+        state, epoch, min_loss, best_epoch = ckpt.load(chkpt_path, state)
         start_epoch = epoch + 1
         if start_epoch >= num_epochs:
             raise RuntimeError(
@@ -239,7 +250,6 @@ def training(model, input_data, output_dir, loss_fn, tx,
                 if is_print:
                     print(f"model graph failed: {e}")
 
-    ckpt = AsyncCheckpointer()  # async saves: train loop never blocks on IO
     train_flow = input_data.get_train_flow(shuffle=True)
     valid_flow = input_data.get_valid_flow()
 
@@ -285,13 +295,15 @@ def training(model, input_data, output_dir, loss_fn, tx,
                 and valid_loss < min_loss):
             min_loss = valid_loss
             best_epoch = epoch
-            ckpt.save_params(model_path, state.params)
+            params_ckpt.save_params(model_path, state.params)
             if (epoch + 1) % checkpoint_epoch != 0:
                 ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
                 tee("Best checkpoint saved.")
 
     end_time = time.time()
     ckpt.wait()
+    params_ckpt.wait()
+    ckpt.close()
 
     if best_epoch is not None:
         params = load_params(model_path, state.params)

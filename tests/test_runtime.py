@@ -277,3 +277,65 @@ def test_2d_config_builds_and_runs():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     y = model.apply({"params": params}, x)
     assert y.shape == (2, 4, 64, 64)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: sharded arrays are saved per shard and restored with
+    their shardings (multi-host-safe path, SURVEY §5.4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multimodal_3d_image_segmentation_tpu.parallel.mesh import (
+        make_mesh, replicated)
+    from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+        make_checkpointer)
+
+    mesh = make_mesh(n_data=8)
+    sh = NamedSharding(mesh, P("data"))
+    params = {"w": jax.device_put(jnp.arange(32.0).reshape(8, 4), sh),
+              "b": jax.device_put(jnp.ones(5), replicated(mesh))}
+    ck = make_checkpointer("orbax")
+    try:
+        path = str(tmp_path / "model.ckpt")
+        ck.save_params(path, params)
+        ck.wait()
+        assert ck.exists(path)
+        template = {"w": jax.device_put(jnp.zeros((8, 4)), sh),
+                    "b": jax.device_put(jnp.zeros(5), replicated(mesh))}
+        out = ck.load_params(path, template)
+        np.testing.assert_allclose(np.asarray(out["w"]),
+                                   np.arange(32.0).reshape(8, 4))
+        assert out["w"].sharding == sh  # restored SHARDED, not replicated
+    finally:
+        ck.close()
+
+    with pytest.raises(ValueError):
+        make_checkpointer("protobuf")
+
+
+def test_orbax_full_state_checkpoint(tmp_path):
+    """Full train-state checkpoint + metadata through the orbax backend
+    matches the msgpack backend's resume contract."""
+    from multimodal_3d_image_segmentation_tpu.runtime import (
+        build_optimizer, create_train_state)
+    from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+        make_checkpointer)
+
+    model = models.HNOSegXS(2, 3, 4, [1], (3, 3, 3))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 8, 8, 8)))["params"]
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    state = create_train_state(model, params, tx)
+
+    ck = make_checkpointer("orbax")
+    try:
+        path = str(tmp_path / "checkpoint.msgpack")
+        ck.save(path, state, epoch=7, min_loss=0.25, best_epoch=5)
+        ck.wait()
+        template = create_train_state(
+            model, jax.tree_util.tree_map(jnp.zeros_like, params), tx)
+        restored, epoch, min_loss, best = ck.load(path, template)
+        assert (epoch, min_loss, best) == (7, 0.25, 5)
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    finally:
+        ck.close()

@@ -4,9 +4,13 @@ Two measurement modes:
 
   * device step time at the BraTS'23 training resolution 120x120x78
     (fp32 and bf16), on whatever backend JAX selects (the TPU chip);
-  * data-parallel weak scaling on an n-device virtual CPU mesh
-    (per-device batch fixed at 1, global batch = n) — validates that the
-    sharded step's collectives scale, independent of TPU availability.
+  * data-parallel collective overhead on a virtual CPU mesh: the SAME
+    global batch run unsharded (1 device) vs sharded over n devices.
+    Virtual devices share physical cores, so total work is constant and
+    the ratio isolates the cost XLA's inserted collectives add to the
+    step — the only DP quantity honestly measurable without real chips
+    (true weak/strong scaling needs hardware; virtual-device "scaling"
+    numbers only measure core oversubscription).
 
 ``python tools/bench_train.py --artifact`` regenerates the committed
 ``BENCH_TRAIN.json`` at the repo root (VERDICT r1 item 9: training-perf
@@ -95,26 +99,29 @@ def bench_device(compute_dtype):
             "steps_per_sec": round(1000.0 / ms, 2)}
 
 
+DP_GLOBAL_BATCH = 8
+
+
 def dp_worker(n_devices):
-    """Weak-scaling step time on an n-device virtual CPU mesh."""
+    """Step time for the FIXED global batch sharded over n virtual CPU
+    devices (n=1 -> unsharded oracle). Same total work in every case."""
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
     from multimodal_3d_image_segmentation_tpu.parallel.mesh import (
         batch_sharding, make_mesh, replicated)
 
-    shape = (n_devices,) + DP_SHAPE[1:]
+    shape = (DP_GLOBAL_BATCH,) + DP_SHAPE[1:]
     state, x, one_step = _build("float32", shape)
     mesh = make_mesh(n_data=n_devices)
     state = jax.device_put(state, replicated(mesh))
     x = jax.device_put(x, batch_sharding(mesh, x.shape))
     ms = _timed_step_ms(state, x, one_step, repeats=2)
     print(json.dumps({
-        "mode": "dp_weak_scaling", "backend": "cpu_virtual",
+        "mode": "dp_collective_overhead", "backend": "cpu_virtual",
         "n_devices": n_devices, "global_shape": list(shape),
         "ms_per_step": round(float(ms), 2)}))
 
@@ -136,14 +143,14 @@ def make_artifact(out_path):
         scaling.append(rec)
     base = scaling[0]["ms_per_step"]
     for rec in scaling:
-        # weak scaling: ideal efficiency keeps ms_per_step flat as the
-        # global batch grows with the device count
-        rec["weak_scaling_efficiency"] = round(base / rec["ms_per_step"], 3)
+        # fixed global batch on shared cores: ratio vs the unsharded run
+        # isolates the cost of XLA's inserted collectives (~1.0 = free)
+        rec["overhead_vs_unsharded"] = round(rec["ms_per_step"] / base, 3)
     artifact = {
         "protocol": "chained fori_loop, scalar readback, "
                     "median of (long-short)/(N_LONG-N_SHORT)",
         "device_step": results,
-        "dp_weak_scaling": scaling,
+        "dp_collective_overhead": scaling,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
