@@ -386,12 +386,17 @@ class VNetDS(nn.Module):
         if len(right_leg) == 1:
             x = right_leg_ref[0]
         else:
+            # project-then-upsample: each leg is 1x1-projected at its own
+            # resolution and nearest-upsampled after (exact — the gather
+            # commutes with the per-voxel einsum); the reference upsamples
+            # the wide legs first (``nets/architectures.py:638-653``)
             ref_size = right_leg_ref[0].shape[1:-1]
-            ups = [resize_nearest(t, ref_size) for _, t in right_leg]
             x = ConcatConvNormAct(self.out_channels, use_bias=True,
                                   activation=self.activation,
                                   use_snn=self.use_snn,
-                                  name="conv_ds")(tuple(ups))
+                                  upsample_to=ref_size,
+                                  name="conv_ds")(
+                tuple(t for _, t in right_leg))
 
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)

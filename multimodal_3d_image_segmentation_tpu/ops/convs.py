@@ -152,10 +152,19 @@ class _SplitKernelConv1x1(nn.Module):
     computes ``sum_i x_i @ K_i`` so the concatenated tensor is never
     materialized in HBM (the concats in the reference blocks are the
     widest tensors in the network).
+
+    ``upsample_to``: when set, inputs may be at coarser resolutions; each
+    part is nearest-upsampled to this spatial size AFTER its projection.
+    Nearest resize is a voxel gather, so it commutes exactly with the
+    per-voxel einsum — identical values to upsample-then-project, but the
+    wide coarse tensors are projected to ``features`` channels first (the
+    deep-supervision legs go from O(sum C_i) full-resolution traffic to
+    O(features)).
     """
     features: int
     use_bias: bool = True
     snn_init: bool = False
+    upsample_to: Union[Tuple[int, ...], None] = None
 
     @nn.compact
     def __call__(self, inputs) -> jax.Array:
@@ -176,6 +185,10 @@ class _SplitKernelConv1x1(nn.Module):
             part = jnp.einsum("...i,io->...o", x,
                               mat[off:off + c].astype(x.dtype),
                               precision=_prec(x.dtype))
+            if (self.upsample_to is not None
+                    and part.shape[1:-1] != tuple(self.upsample_to)):
+                from .resize import resize_nearest
+                part = resize_nearest(part, self.upsample_to)
             y = part if y is None else y + part
             off += c
 
@@ -190,11 +203,14 @@ class _SplitKernelConv1x1(nn.Module):
 class ConcatConvNormAct(nn.Module):
     """ConvNormAct(kernel=1) over a virtual concat of inputs — numerically
     identical to ``ConvNormAct(...)(concatenate(inputs, -1))`` with the same
-    parameter tree, without materializing the concat."""
+    parameter tree, without materializing the concat. ``upsample_to``
+    additionally lets inputs arrive at coarser resolutions (deep-supervision
+    legs): parts are projected first, then nearest-upsampled — exact."""
     features: int
     use_bias: bool = True
     activation: Union[str, None] = "selu"
     use_snn: bool = True
+    upsample_to: Union[Tuple[int, ...], None] = None
 
     @nn.compact
     def __call__(self, inputs) -> jax.Array:
@@ -203,7 +219,9 @@ class ConcatConvNormAct(nn.Module):
                 "Self-normalizing neural network (SNN) must be used with SELU.")
         snn_init = self.use_snn and is_selu(self.activation)
         x = _SplitKernelConv1x1(self.features, use_bias=self.use_bias,
-                                snn_init=snn_init, name="conv")(inputs)
+                                snn_init=snn_init,
+                                upsample_to=self.upsample_to,
+                                name="conv")(inputs)
         if not self.use_snn:
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         act = get_activation(self.activation)
