@@ -41,7 +41,7 @@ def _selu(x):
                                    _SELU_ALPHA * (jnp.exp(safe) - 1.0))
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref):
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, apply_selu=True):
     # x: (2, C, 2dt, 2ht, W2) ; w: (4, 2, C, F) ; o: (dt, ht, F, W2)
     two, c, dt2, ht2, w2 = x_ref.shape
     dt, ht, f, _ = o_ref.shape
@@ -58,7 +58,9 @@ def _kernel(x_ref, w_ref, b_ref, o_ref):
                                  * wvec[None, None, :, None]
                                  .astype(jnp.float32))
             k += 1
-    out = _selu(acc + b_ref[:][None, None, :, None].astype(jnp.float32))
+    out = acc + b_ref[:][None, None, :, None].astype(jnp.float32)
+    if apply_selu:
+        out = _selu(out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -84,7 +86,7 @@ def _conv_in_impl(x_cf, kernel, bias, dt=11, ht=4, interpret=False,
                     for dz in range(2) for dy in range(2)])  # (4, 2, C, F)
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, apply_selu=apply_selu),
         out_shape=jax.ShapeDtypeStruct((gd * dt, gh * ht, f, w2),
                                        x_cf.dtype),
         grid=(gd, gh),
@@ -121,7 +123,7 @@ def _build_w_select(w: int, w2: int) -> np.ndarray:
 
 
 def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
-                c, dt, gm, d, h, w, h2, w2, f):
+                c, dt, gm, d, h, w, h2, w2, f, apply_selu=True):
     """Grid step i computes output depth rows [i*dt, (i+1)*dt) directly
     from the raw channel-first input: no XLA-side pad/reshape/transpose.
 
@@ -194,7 +196,9 @@ def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
     po = parts[0].reshape(dt, hh, f, w2)
     acc = (jnp.pad(pe, ((0, 0), (0, 1), (0, 0), (0, 0)))
            + jnp.pad(po, ((0, 0), (1, 0), (0, 0), (0, 0))))
-    out = _selu(acc + b_ref[:][None, None, :, None].astype(f32))
+    out = acc + b_ref[:][None, None, :, None].astype(f32)
+    if apply_selu:
+        out = _selu(out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -217,9 +221,10 @@ def _pick_dt(c, d, h, w, itemsize):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "dt", "channels_middle"))
+                   static_argnames=("interpret", "dt", "channels_middle",
+                                    "apply_selu"))
 def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
-                      channels_middle=False):
+                      channels_middle=False, apply_selu=True):
     """conv_in straight off the raw channel-first HBM tensor: the ~3 ms of
     XLA-side pad + relayout passes of ``_conv_in_impl`` (docs/DESIGN.md
     section 3) do not exist on this path."""
@@ -238,7 +243,7 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
     msel = jnp.asarray(_build_w_select(w, w2))
 
     kern = functools.partial(_raw_kernel, c=c, dt=dt, gm=gm, d=d, h=h,
-                             w=w, h2=h2, w2=w2, f=f)
+                             w=w, h2=h2, w2=w2, f=f, apply_selu=apply_selu)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((grid * dt, h2, f, w2), x_cf.dtype),
@@ -266,41 +271,48 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
     return jnp.transpose(out, (0, 1, 3, 2))[None]
 
 
-def _reference_xla(x_cf, kernel, bias):
+def _reference_xla(x_cf, kernel, bias, apply_selu=True):
     """XLA reference implementation (also supplies the backward pass)."""
     y = jax.lax.conv_general_dilated(
         jnp.transpose(x_cf, (0, 2, 3, 4, 1)), kernel, (2, 2, 2),
         [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         precision=jax.lax.Precision.HIGHEST)
-    return jax.nn.selu(y + bias)
+    y = y + bias
+    return jax.nn.selu(y) if apply_selu else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle,
+                 apply_selu):
     if raw_path_supported(x_cf.shape):
         return _conv_in_raw_impl(x_cf, kernel, bias, interpret=interpret,
-                                 channels_middle=channels_middle)
+                                 channels_middle=channels_middle,
+                                 apply_selu=apply_selu)
     d2 = x_cf.shape[2] // 2 + 1
     dt = min(11, d2)
     out = _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
-                        interpret=interpret)
+                        interpret=interpret, apply_selu=apply_selu)
     if channels_middle:
         return jnp.transpose(out, (0, 1, 2, 4, 3))
     return out
 
 
-def _conv_in_fwd(x_cf, kernel, bias, interpret, channels_middle):
-    return (_conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle),
+def _conv_in_fwd(x_cf, kernel, bias, interpret, channels_middle,
+                 apply_selu):
+    return (_conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle,
+                         apply_selu),
             (x_cf, kernel, bias))
 
 
-def _conv_in_bwd(interpret, channels_middle, res, g):
+def _conv_in_bwd(interpret, channels_middle, apply_selu, res, g):
     # Gradients via the (numerically matching) XLA formulation; the Pallas
     # kernel is only the forward fast path.
     x_cf, kernel, bias = res
     if channels_middle:
         g = jnp.transpose(g, (0, 1, 2, 4, 3))
-    _, vjp = jax.vjp(_reference_xla, x_cf, kernel, bias)
+    _, vjp = jax.vjp(
+        lambda a, k, b: _reference_xla(a, k, b, apply_selu), x_cf, kernel,
+        bias)
     return vjp(g)
 
 
@@ -308,8 +320,10 @@ _conv_in_vjp.defvjp(_conv_in_fwd, _conv_in_bwd)
 
 
 def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
-                interpret=None, channels_middle: bool = False) -> jax.Array:
-    """Fused k=2/s=2/pad=1 conv + bias + SELU.
+                interpret=None, channels_middle: bool = False,
+                apply_selu: bool = True) -> jax.Array:
+    """Fused k=2/s=2/pad=1 conv + bias (+ SELU unless ``apply_selu`` is
+    False — V-Net-DS applies GroupNorm+ELU outside instead).
 
     Args:
         x_cf: channel-first input (1, C, D, H, W).
@@ -328,4 +342,4 @@ def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _conv_in_vjp(x_cf, kernel, bias, bool(interpret),
-                        bool(channels_middle))
+                        bool(channels_middle), bool(apply_selu))

@@ -289,6 +289,35 @@ class HartleyMHASeg(_TransSegBase):
         return x
 
 
+class _VNetConvIn(nn.Module):
+    """conv_in (k=2/s=2) via the fused Pallas kernel, reading the raw
+    channel-first input, with ConvNormAct's exact parameter tree
+    (``conv_in/conv/{kernel,bias}`` [+ ``conv_in/norm/{scale,bias}``]).
+    The kernel fuses SELU when use_snn; otherwise GroupNorm + activation
+    run in XLA on the kernel output, matching ConvNormAct semantics."""
+    features: int
+    in_features: int
+    activation: Union[str, Callable, None]
+    use_snn: bool
+
+    @nn.compact
+    def __call__(self, x_cf):
+        from ..kernels.conv_in import conv_in_s2d
+        from .hnosegxs import _ConvParams
+        snn = self.use_snn and is_selu(self.activation)
+        kernel, bias = _ConvParams(self.features, self.in_features, 2,
+                                   snn, name="conv")()
+        y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
+                        bias.astype(x_cf.dtype), apply_selu=snn)
+        if not self.use_snn:
+            y = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(y)
+        if not snn:
+            act = get_activation(self.activation)
+            if act is not None:
+                y = act(y)
+        return y
+
+
 class VNetDS(nn.Module):
     """V-Net with deep supervision (reference
     ``nets/architectures.py:26-253``).
@@ -312,12 +341,21 @@ class VNetDS(nn.Module):
     ndim: int = 5
     channel_first_io: bool = True
     compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    def _use_conv_in_kernel(self, x_cf):
+        """Fused conv_in kernel: 3D, batch 1, channel-first input, on a
+        real TPU (same gating as HNOSegXS)."""
+        return (self.use_pallas and self.use_resize and self.ndim == 5
+                and self.channel_first_io and x_cf.shape[0] == 1
+                and jax.default_backend() == "tpu")
 
     @nn.compact
     def __call__(self, x):
         assert self.ndim in (4, 5)
         assert isinstance(self.num_blocks, (list, tuple))
-        if self.channel_first_io:
+        conv_in_kernel = self._use_conv_in_kernel(x)
+        if self.channel_first_io and not conv_in_kernel:
             x = _to_channels_last(x)
         in_dtype = x.dtype
         x = x.astype(self.compute_dtype)
@@ -333,16 +371,22 @@ class VNetDS(nn.Module):
                                activation=self.activation,
                                use_snn=self.use_snn, name=name)
 
-        image_size = x.shape[1:-1]
+        image_size = x.shape[2:] if conv_in_kernel else x.shape[1:-1]
         num_sections = len(self.num_blocks)
         encode_tensors = {}
         right_leg = []  # (section index, tensor) in insertion order
         right_leg_ref = {}
 
         if self.use_resize:
-            x = ConvNormAct(self.base_num_filters, kernel_size=2, strides=2,
-                            use_bias=True, activation=self.activation,
-                            use_snn=self.use_snn, name="conv_in")(x)
+            if conv_in_kernel:  # reads channel-first, emits channels-last
+                x = _VNetConvIn(self.base_num_filters, x.shape[1],
+                                self.activation, self.use_snn,
+                                name="conv_in")(x)
+            else:
+                x = ConvNormAct(self.base_num_filters, kernel_size=2,
+                                strides=2, use_bias=True,
+                                activation=self.activation,
+                                use_snn=self.use_snn, name="conv_in")(x)
 
         # Encoding
         for i in range(num_sections):

@@ -100,3 +100,44 @@ def test_conv_in_kernel_matches_and_differentiates():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
     for a, bb in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
+
+
+def test_vnetds_conv_in_kernel_matches_module_path(monkeypatch):
+    """VNetDS use_pallas conv_in: same param tree and same outputs as the
+    ConvNormAct path (kernel runs in interpret mode off-TPU; the TPU gate
+    is bypassed for the test)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.VNetDS, "_use_conv_in_kernel",
+        lambda self, x_cf: (self.use_pallas and self.use_resize
+                            and self.ndim == 5 and self.channel_first_io
+                            and x_cf.shape[0] == 1))
+
+    kw = dict(in_channels=2, out_channels=3, base_num_filters=8,
+              num_blocks=[1, 2], right_leg_indexes=[0, 1])
+    m_ref = models.VNetDS(**kw)
+    m_pal = models.VNetDS(**kw, use_pallas=True)
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 2, 16, 16, 12)).astype(np.float32))
+    p_ref = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+    p_pal = m_pal.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_pal))
+
+    y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
+    y_pal = np.asarray(m_pal.apply({"params": p_ref}, x))
+    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5)
+
+    # selu/SNN variant fuses the activation in-kernel
+    kws = dict(kw, activation="selu", use_snn=True)
+    m_ref_s = models.VNetDS(**kws)
+    m_pal_s = models.VNetDS(**kws, use_pallas=True)
+    p_s = m_ref_s.init(jax.random.PRNGKey(1), x)["params"]
+    p_s2 = m_pal_s.init(jax.random.PRNGKey(1), x)["params"]
+    assert (jax.tree_util.tree_structure(p_s)
+            == jax.tree_util.tree_structure(p_s2))
+    np.testing.assert_allclose(
+        np.asarray(m_pal_s.apply({"params": p_s}, x)),
+        np.asarray(m_ref_s.apply({"params": p_s}, x)), atol=1e-5)

@@ -35,7 +35,7 @@ from multimodal_3d_image_segmentation_tpu.utils.profiling import timed_loop_ms
 def _kernel(x_ref, w_ref, o_ref, a_ref, b_ref, xcol_ref, *,
             ci, co, wp, npl, precision):
     i = pl.program_id(0)
-    xplane = x_ref[:, 0, :]  # (ci, Npl)
+    xplane = x_ref[0]  # (ci, Npl)
     # in-plane taps: Xcol[t*ci:(t+1)*ci] = plane shifted by (kh-1, kw-1)
     for t in range(9):
         kh, kw = divmod(t, 3)
@@ -44,9 +44,25 @@ def _kernel(x_ref, w_ref, o_ref, a_ref, b_ref, xcol_ref, *,
         # so s = -off mod Npl (roll requires non-negative shifts)
         xcol_ref[t * ci:(t + 1) * ci, :] = pltpu.roll(xplane,
                                                       (-off) % npl, 1)
-    p = lax.dot_general(w_ref[:], xcol_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)  # (3*co, Npl)
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        # Mosaic lacks Precision.HIGH; emulate bf16x3 with a hi/lo split
+        # (same error class as XLA's HIGH: ~1e-6 relative)
+        wv, xv = w_ref[:], xcol_ref[:]
+        whi = wv.astype(jnp.bfloat16)
+        wlo = (wv - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xhi = xv.astype(jnp.bfloat16)
+        xlo = (xv - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        p = (lax.dot_general(whi, xhi, dims,
+                             preferred_element_type=jnp.float32)
+             + lax.dot_general(whi, xlo, dims,
+                               preferred_element_type=jnp.float32)
+             + lax.dot_general(wlo, xhi, dims,
+                               preferred_element_type=jnp.float32))
+    else:
+        p = lax.dot_general(w_ref[:], xcol_ref[:], dims,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)  # (3*co, Npl)
     o_ref[0] = (b_ref[:] + p[2 * co:3 * co]).astype(o_ref.dtype)
     b_ref[:] = a_ref[:] + p[co:2 * co]
     a_ref[:] = p[0:co]
@@ -62,17 +78,18 @@ def conv3_flat(x, kernel, interpret=False, precision="highest"):
     np_ = hp * wp
     npl = -(-np_ // 128) * 128
 
-    xt = jnp.transpose(x, (3, 0, 1, 2))           # (C, D, H, W)
-    xt = jnp.pad(xt, ((0, 0), (1, 1), (1, 1), (1, 1)))
-    xt = xt.reshape(ci, d + 2, np_)
+    xt = jnp.transpose(x, (0, 3, 1, 2))           # (D, C, H, W)
+    xt = jnp.pad(xt, ((1, 1), (0, 0), (1, 1), (1, 1)))
+    xt = xt.reshape(d + 2, ci, np_)
     xt = jnp.pad(xt, ((0, 0), (0, 0), (0, npl - np_)))
 
     # W72[(kd*co + o), (t*ci + i)] = K[kd, kh, kw, i, o]
     w72 = jnp.transpose(kernel.reshape(3, 9, ci, co), (0, 3, 1, 2))
     w72 = w72.reshape(3 * co, 9 * ci)
 
-    prec = dict(high=lax.Precision.HIGH,
-                highest=lax.Precision.HIGHEST)[precision]
+    prec = ("bf16x3" if precision == "bf16x3"
+            else dict(default=lax.Precision.DEFAULT,
+                      highest=lax.Precision.HIGHEST)[precision])
     kern = functools.partial(_kernel, ci=ci, co=co, wp=wp, npl=npl,
                              precision=prec)
     out = pl.pallas_call(
@@ -80,7 +97,7 @@ def conv3_flat(x, kernel, interpret=False, precision="highest"):
         out_shape=jax.ShapeDtypeStruct((d + 2, co, npl), x.dtype),
         grid=(d + 2,),
         in_specs=[
-            pl.BlockSpec((ci, 1, npl), lambda i: (0, i, 0),
+            pl.BlockSpec((1, ci, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * co, 9 * ci), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -113,14 +130,14 @@ def check(d, h, w, ci, co, interpret):
     k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)) * 0.05,
                     jnp.float32)
     ref = _xla_conv(x, k)
-    for precision in ("highest", "high"):
+    for precision in ("highest", "bf16x3"):
         got = conv3_flat(x, k, interpret=interpret, precision=precision)
         err = float(jnp.max(jnp.abs(got - ref))
                     / (jnp.max(jnp.abs(ref)) + 1e-9))
         print(f"  ({d},{h},{w}) {ci}->{co} prec={precision}: "
               f"rel err {err:.2e}", flush=True)
     if not interpret:
-        for precision in ("highest", "high"):
+        for precision in ("highest", "bf16x3"):
             f = functools.partial(conv3_flat, kernel=k, precision=precision)
             ms = timed_loop_ms(lambda v: f(v), x, n_short=1, n_long=7,
                                repeats=3)
