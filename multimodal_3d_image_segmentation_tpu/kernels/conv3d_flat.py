@@ -1,0 +1,279 @@
+"""Pallas TPU kernels: flat-layout 3D k=3 convolutions for small channels.
+
+V-Net-DS's conv sections run at a few percent of MXU peak through XLA
+(channel counts 24-96 on every matmul dim of a conv lowering) and its
+channels-last elementwise passes pay ~13x over the memory bound (lane
+tiles pad C -> 128; see docs/DESIGN.md §3d). These kernels operate on a
+**flat padded layout** that fixes both:
+
+    x_flat: (Dp, C, Npl)   Dp = D + 2 (one zero plane each side),
+                           Npl = pad128(Hp * Wp), Hp/Wp = H/W + 2,
+                           plane flattened row-major onto the LANE axis.
+
+  * the 9 in-plane taps of a k=3 stencil are exact lane rolls of the
+    padded plane (wrap effects land only at positions outside the valid
+    interior);
+  * one MXU dot per source plane computes all 3 depth taps at once:
+        P[(kd*co), j] = W[(kd*co), (t*ci)] @ Xcol[(t*ci), j]
+    with contraction 9*ci and M-dim 3*co — ~50% MXU utilization at C=24
+    vs ~3.5% for the XLA lowering;
+  * the three depth contributions of each output plane are accumulated
+    across sequential grid steps in a two-register pending pipeline, so
+    every input plane is read once and every output plane written once.
+
+Borders: kernels SANITIZE their input (valid-interior lane mask + zero
+D-flag per plane), so tensors between ops may carry dirty borders (e.g.
+after GroupNorm's shift); outputs are emitted with CLEAN zero borders,
+which keeps whole-array reductions equal to valid-voxel reductions (the
+GroupNorm stats trick in ``models/architectures.py``).
+
+An optional per-channel affine+activation **prologue** lets the previous
+layer's GroupNorm normalize+activation fuse into this kernel's input
+stage (zero extra HBM passes).
+
+fp32 matmul precision inside kernels is bf16x3 via a manual hi/lo split
+(Mosaic rejects ``Precision.HIGH``; ~5e-6 relative — comparable to XLA's
+default conv precision, far better than its bf16 multiplies) or HIGHEST.
+Backward passes run through the XLA formulation via custom VJP.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.flatvol import FlatGeom, flat_geom, from_flat, to_flat
+
+__all__ = ["FlatGeom", "flat_geom", "to_flat", "from_flat", "conv3_flat",
+           "apply_affine_act_flat"]
+
+_SELU_SCALE = 1.0507009873554804934193349852946
+_SELU_ALPHA = 1.6732632423543772848170429916717
+
+
+def _act_fn(name):
+    if name is None or name == "none":
+        return None
+    if name == "elu":
+        def elu(x):
+            safe = jnp.where(x > 0, 0.0, x)
+            return jnp.where(x > 0, x, jnp.exp(safe) - 1.0)
+        return elu
+    if name == "selu":
+        def selu(x):
+            safe = jnp.where(x > 0, 0.0, x)
+            return _SELU_SCALE * jnp.where(
+                x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
+        return selu
+    if name == "relu":
+        return lambda x: jnp.maximum(x, 0.0)
+    raise ValueError(f"unsupported kernel activation: {name!r}")
+
+
+def _split_bf16(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_f32(a, b, precision):
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        ahi, alo = _split_bf16(a)
+        bhi, blo = _split_bf16(b)
+        return (lax.dot_general(ahi, bhi, dims,
+                                preferred_element_type=jnp.float32)
+                + lax.dot_general(ahi, blo, dims,
+                                  preferred_element_type=jnp.float32)
+                + lax.dot_general(alo, bhi, dims,
+                                  preferred_element_type=jnp.float32))
+    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+
+def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
+                  a_ref, bpend_ref, xcol_ref, *,
+                  ci, co, wp, npl, dp, precision, prologue_act, has_pro):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    # --- input sanitize (+ fused prologue of the previous layer) ---
+    xplane = x_ref[0].astype(f32)                  # (ci, Npl)
+    if has_pro:
+        scale = pro_ref[0][:, :1]                  # (ci, 1)
+        shift = pro_ref[1][:, :1]
+        xplane = xplane * scale + shift
+        act = _act_fn(prologue_act)
+        if act is not None:
+            xplane = act(xplane)
+    dflag = ((i > 0) & (i < dp - 1)).astype(f32)
+    xplane = xplane * (m_ref[:] * dflag)           # zero borders + D pads
+
+    for t in range(9):
+        kh, kw = divmod(t, 3)
+        off = (kh - 1) * wp + (kw - 1)
+        xcol_ref[t * ci:(t + 1) * ci, :] = pltpu.roll(xplane,
+                                                      (-off) % npl, 1)
+    p = _dot_f32(w_ref[:], xcol_ref[:], precision)  # (3co, Npl)
+
+    # --- pending-plane pipeline: out_padded[i-1] completes at step i ---
+    done = bpend_ref[:] + p[2 * co:3 * co]
+    done = (done + b_ref[:][:, :1]) * m_ref[:]      # bias + clean borders
+    write_zero = (i <= 1) | (i >= dp)
+    o_ref[0] = jnp.where(write_zero, 0.0, done).astype(o_ref.dtype)
+    bpend_ref[:] = a_ref[:] + p[co:2 * co]
+    a_ref[:] = p[0:co]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret"))
+def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
+                     prologue_act, interpret):
+    ci = x_flat.shape[1]
+    co = w72.shape[0] // 3
+    has_pro = prologue is not None
+    # bias as (co, 128) lane-broadcast row (scalar operands need 2D VMEM)
+    bias2 = jnp.broadcast_to(bias[:, None], (co, 128))
+
+    operands = [x_flat, w72, bias2, mask]
+    in_specs = [
+        pl.BlockSpec((1, ci, g.npl), lambda i: (jnp.minimum(i, g.dp - 1),
+                                                0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * co, 9 * ci), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g.npl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_pro:
+        pro = jnp.stack([jnp.broadcast_to(prologue[0][:, None], (ci, 128)),
+                         jnp.broadcast_to(prologue[1][:, None], (ci, 128))])
+        operands.append(pro)
+        in_specs.append(pl.BlockSpec((2, ci, 128), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        operands.append(jnp.zeros((2, 8, 128), x_flat.dtype))
+        in_specs.append(pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kern = functools.partial(
+        _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
+        precision=precision, prologue_act=prologue_act, has_pro=has_pro)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype),
+        grid=(g.dp + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, co, g.npl),
+            lambda i: (jnp.clip(i - 1, 0, g.dp - 1), 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((co, g.npl), jnp.float32),
+                        pltpu.VMEM((co, g.npl), jnp.float32),
+                        pltpu.VMEM((9 * ci, g.npl), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act):
+    """XLA formulation on the unflattened view — numerics oracle and the
+    backward pass of the custom VJP."""
+    x4 = from_flat(x_flat, g)                       # (C, D, H, W)
+    if prologue is not None:
+        scale, shift = prologue
+        x4 = x4 * scale[:, None, None, None] + shift[:, None, None, None]
+        act = {"elu": jax.nn.elu, "selu": jax.nn.selu,
+               "relu": jax.nn.relu, None: None, "none": None}[prologue_act]
+        if act is not None:
+            x4 = act(x4)
+    y = lax.conv_general_dilated(
+        x4[None], kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+        precision=lax.Precision.HIGHEST)[0] + bias[:, None, None, None]
+    return to_flat(y, g)
+
+
+def _pack_w72(kernel):
+    """(3,3,3,ci,co) -> (3*co, 9*ci): W72[(kd*co+o), (t*ci+i)]."""
+    ci, co = kernel.shape[-2:]
+    w = jnp.transpose(kernel.reshape(3, 9, ci, co), (0, 3, 1, 2))
+    return w.reshape(3 * co, 9 * ci)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _conv3_vjp(x_flat, kernel, bias, prologue, g, precision, prologue_act,
+               interpret):
+    mask = jnp.asarray(g.interior_mask())
+    return _conv3_flat_impl(x_flat, _pack_w72(kernel), bias, mask, prologue,
+                            g, precision, prologue_act, interpret)
+
+
+def _conv3_fwd(x_flat, kernel, bias, prologue, g, precision, prologue_act,
+               interpret):
+    out = _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
+                     prologue_act, interpret)
+    return out, (x_flat, kernel, bias, prologue)
+
+
+def _conv3_bwd(g, precision, prologue_act, interpret, res, grad):
+    x_flat, kernel, bias, prologue = res
+    if prologue is None:
+        def f(xf, k, b):
+            return _conv3_xla_reference(xf, k, b, None, g, prologue_act)
+        _, vjp = jax.vjp(f, x_flat, kernel, bias)
+        gx, gk, gb = vjp(grad)
+        return gx, gk, gb, None
+    def f(xf, k, b, pro):
+        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act)
+    _, vjp = jax.vjp(f, x_flat, kernel, bias, prologue)
+    return vjp(grad)
+
+
+_conv3_vjp.defvjp(_conv3_fwd, _conv3_bwd)
+
+
+def conv3_flat(x_flat: jax.Array, kernel: jax.Array, bias: jax.Array,
+               g: FlatGeom, prologue: Optional[Tuple[jax.Array, jax.Array]]
+               = None, prologue_act: Optional[str] = None,
+               precision: str = "bf16x3",
+               interpret: Optional[bool] = None) -> jax.Array:
+    """k=3/s=1 SAME conv on the flat padded layout.
+
+    Args:
+        x_flat: (Dp, ci, Npl); borders may be dirty (sanitized in-kernel).
+        kernel: (3, 3, 3, ci, co) DHWIO weights.
+        bias: (co,).
+        g: the FlatGeom of the volume.
+        prologue: optional per-channel (scale, shift) applied to the input
+            BEFORE the conv, followed by ``prologue_act`` — fuses the
+            previous layer's GroupNorm+activation into this kernel.
+        precision: 'bf16x3' (default; ~5e-6 rel) or 'highest' (bf16x6).
+
+    Returns:
+        (Dp, co, Npl) with clean zero borders (bias applied inside the
+        valid interior only). Differentiable (backward via XLA).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
+                      prologue_act, bool(interpret))
+
+
+def apply_affine_act_flat(x_flat, scale, shift, act: Optional[str]):
+    """XLA-side per-channel affine + activation on a flat tensor (used
+    when the consumer is not a kernel that could fuse it). Borders become
+    dirty — fine, downstream kernels sanitize."""
+    y = x_flat * scale[None, :, None] + shift[None, :, None]
+    fn = {"elu": jax.nn.elu, "selu": jax.nn.selu, "relu": jax.nn.relu,
+          None: None, "none": None}[act]
+    return fn(y) if fn is not None else y

@@ -30,10 +30,12 @@ import numpy as np
 from ..ops.activations import get_activation, is_selu
 from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
                          _SplitKernelConv1x1)
+from ..ops.flatvol import FlatGeom, flat_geom, from_flat, to_flat
 from ..ops.operators import HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear
-from ..ops.spectral import (clip_modes, dht_crop, dht_pad_inverse,
+from ..ops.spectral import (_prec, clip_modes, dht_crop, dht_crop_flat,
+                            dht_pad_inverse, dht_pad_inverse_flat,
                             normalize_modes, spatial_axes)
 
 __all__ = ["HNOSegXS", "HNOXSBlock"]
@@ -103,6 +105,53 @@ class _ConvInScope(nn.Module):
                            self.snn_init, name="conv")()
 
 
+class _Conv1x1Weight(nn.Module):
+    """Param-only holder matching _SplitKernelConv1x1's kernel (no bias);
+    used by the flat-layout path so parameter paths stay identical."""
+    features: int
+    fan_in: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        from ..ops import initializers as inits
+        init = (inits.kaiming_normal_linear(self.fan_in) if self.snn_init
+                else inits.kaiming_uniform_a5(self.fan_in))
+        return self.param("kernel", init,
+                          (1, 1, 1, self.fan_in, self.features))
+
+
+class _FlatConcatConv(nn.Module):
+    """Virtual-concat 1x1 conv + bias + SELU on flat (Dp, C, Npl) tensors,
+    with ConcatConvNormAct's exact parameter tree
+    (``<name>/conv/{kernel,bias}``). Borders become dirty (bias + SELU) —
+    downstream flat consumers remove them exactly."""
+    features: int
+    fan_in: int
+    snn_init: bool = True
+    apply_act: bool = True
+
+    @nn.compact
+    def __call__(self, inputs):
+        assert sum(t.shape[1] for t in inputs) == self.fan_in
+        kernel, bias = _ConvParams(self.features, self.fan_in, 1,
+                                   self.snn_init, name="conv")()
+        mat = kernel.reshape(self.fan_in, self.features)
+        y = None
+        off = 0
+        for xi in inputs:
+            c = xi.shape[1]
+            part = jnp.einsum("dcn,co->don", xi,
+                              mat[off:off + c].astype(xi.dtype),
+                              precision=_prec(xi.dtype))
+            y = part if y is None else y + part
+            off += c
+        y = y + bias.astype(y.dtype)[None, :, None]
+        if self.apply_act:
+            y = jax.nn.selu(y)
+        return y
+
+
 class _FreqResidentConv(nn.Module):
     """One frequency-domain convolution with identity skip + activation
     (reference ``nets/hnosegxs.py:282-329``). Operates on the packed
@@ -149,6 +198,7 @@ class HNOXSBlock(nn.Module):
     use_block_concat: bool = True
     snn_init: bool = False
     use_pallas: bool = False
+    flat_geom: Optional[FlatGeom] = None
 
     def _can_fuse(self):
         """The Pallas fused chain covers the common configuration: shared
@@ -156,10 +206,42 @@ class HNOXSBlock(nn.Module):
         return (self.use_pallas and self.weights_type == "shared"
                 and is_selu(self.activation) and not self.use_conv_branch)
 
+    def _flat_call(self, x, skip):
+        """Flat-layout (Dp, C, Npl) block: the big grid is touched only by
+        the D-stage contractions and the concat einsums — no channels-last
+        lane-padding tax (docs/DESIGN.md §3d). Identical parameters and
+        (to fp rounding) identical values to the module path."""
+        from ..kernels.freq_chain import fused_freq_chain
+        g = self.flat_geom
+        if self.in_channels != self.out_channels:
+            inputs = (x,) if skip is None else (x, skip)
+            x = _FlatConcatConv(self.out_channels, self.in_channels,
+                                self.snn_init, name="mapping_conv")(inputs)
+        else:
+            assert skip is None
+        tmp = x
+        modes = clip_modes(normalize_modes(self.num_modes, 3),
+                           (g.d, g.h, g.w))
+        y = dht_crop_flat(x, g, modes)
+        weights = [_OpScope(self.out_channels, self.out_channels,
+                            self.snn_init, name=f"conv_blocks_{i}")()
+                   for i in range(self.num_convs)]
+        y = fused_freq_chain(y, weights)
+        x = jax.nn.selu(dht_pad_inverse_flat(y, g))
+        if self.use_block_concat:
+            x = _FlatConcatConv(self.out_channels, 2 * self.out_channels,
+                                self.snn_init, name="conv_concat")((x, tmp))
+        else:
+            x = x + tmp
+        return x
+
     @nn.compact
     def __call__(self, x, skip=None):
         """``skip`` is the U-Net skip tensor; it is concatenated (virtually)
         with x before the mapping conv, never materialized."""
+        if self.flat_geom is not None:
+            assert self._can_fuse(), "flat mode requires the fused config"
+            return self._flat_call(x, skip)
         if self.in_channels != self.out_channels:
             inputs = (x,) if skip is None else (x, skip)
             x = ConcatConvNormAct(self.out_channels, use_bias=True,
@@ -233,6 +315,7 @@ class HNOSegXS(nn.Module):
     ndim: int = 5
     channel_first_io: bool = True
     use_pallas: bool = False
+    use_flat: bool = False  # experimental flat-layout block tower
     compute_dtype: str = "float32"
     use_remat: bool = False
 
@@ -243,11 +326,106 @@ class HNOSegXS(nn.Module):
                 and is_selu(self.activation) and x_cf.shape[0] == 1
                 and jax.default_backend() == "tpu")
 
+    def _use_flat_blocks(self, x_cf):
+        """Flat-layout (Dp, C, Npl) execution of the whole block tower:
+        the channels-last lane-padding tax (~5x memory traffic at C=24,
+        docs/DESIGN.md §3d) disappears from every elementwise/einsum pass.
+        Covers the flagship configuration; identical parameters, values
+        equal to the module path to fp rounding."""
+        return (self.use_flat and self.ndim == 5
+                and self.channel_first_io and x_cf.shape[0] == 1
+                and is_selu(self.activation)
+                and self.weights_type == "shared"
+                and self.use_block_concat
+                and jax.default_backend() == "tpu")
+
+    def _flat_forward(self, x, in_dtype):
+        from ..kernels.conv_in import conv_in_s2d
+
+        image_size = x.shape[2:]
+        x = x.astype(self.compute_dtype)
+        f = self.filters
+
+        if self.use_resize:
+            kernel, bias = _ConvInScope(f, x.shape[1], True,
+                                        name="conv_in")()
+            y = conv_in_s2d(x, kernel.astype(x.dtype),
+                            bias.astype(x.dtype), channels_middle=True)
+            y = jnp.transpose(y[0], (0, 2, 1, 3))     # (D2, F, H2, W2)
+            g = flat_geom(*[y.shape[0], y.shape[2], y.shape[3]])
+            y = jnp.pad(y, ((1, 1), (0, 0), (1, 1), (1, 1)))
+            y = y.reshape(g.dp, f, g.np)
+            x = jnp.pad(y, ((0, 0), (0, 0), (0, g.npl - g.np)))
+        else:
+            g = flat_geom(*x.shape[2:])
+            x = to_flat(x[0], g)
+
+        x = _FlatConcatConv(f, x.shape[1], True, name="conv1")((x,))
+
+        ntb = self.num_transform_blocks
+        if np.isscalar(ntb):
+            ntb = [int(ntb)]
+        num_blocks = len(ntb)
+        ds_tensors = []
+        encode_tensors = {}
+        if self.use_deep_supervision:
+            ds_tensors.append(x)
+
+        block_cls = nn.remat(HNOXSBlock) if self.use_remat else HNOXSBlock
+        cur_in = f
+        for i, num_convs in enumerate(ntb):
+            skip = None
+            if self.use_unet_skip and i > num_blocks // 2:
+                skip = encode_tensors[num_blocks - 1 - i]
+                cur_in = cur_in + skip.shape[1]
+            x = block_cls(num_convs, cur_in, f, self.num_modes,
+                          weights_type=self.weights_type,
+                          activation=self.activation,
+                          use_block_concat=self.use_block_concat,
+                          snn_init=True, use_pallas=True, flat_geom=g,
+                          name=f"layers_{i}")(x, skip)
+            cur_in = f
+            if self.use_deep_supervision:
+                ds_tensors.append(x)
+            if self.use_unet_skip and i < num_blocks // 2:
+                encode_tensors[i] = x
+
+        feats = tuple(ds_tensors) if ds_tensors else (x,)
+        fan_in = sum(t.shape[1] for t in feats)
+        kern = _Conv1x1Weight(self.out_channels, fan_in, True,
+                              name="conv_out")()
+        mat = kern.reshape(fan_in, self.out_channels)
+        y = None
+        off = 0
+        for t in feats:
+            c = t.shape[1]
+            part = jnp.einsum("dcn,co->don", t,
+                              mat[off:off + c].astype(t.dtype),
+                              precision=_prec(t.dtype))
+            y = part if y is None else y + part
+            off += c
+
+        # tail: tiny channel count -> unflatten + channel-first resize
+        x = from_flat(y, g)[None]                     # (1, out, D2, H2, W2)
+        if self.use_resize:
+            x = resize_linear(x, image_size, channel_first=True)
+        x = spatial_padcrop(x, image_size, channel_first=True)
+        x = x.astype(in_dtype)
+        if self.output_activation == "softmax":
+            x = jax.nn.softmax(x, axis=1)
+        else:
+            act = get_activation(self.output_activation)
+            if act is not None:
+                x = act(x)
+        return x
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.ndim in (4, 5)
         snn = is_selu(self.activation)
         in_dtype = x.dtype
+        if self._use_flat_blocks(x):
+            return self._flat_forward(x, in_dtype)
 
         # Fused Pallas conv_in consumes the *channel-first* input directly
         # (dense HBM layout) and emits the channels-last half-res grid (the

@@ -471,3 +471,78 @@ def extended_reverse(x: jax.Array, axes: Sequence[int]) -> jax.Array:
             m = (x.shape[ax] - 1) // 2
             x = jnp.take(x, jnp.asarray(extended_reverse_perm(m)), axis=ax)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout (Dp, C, Npl) transforms — see ops/flatvol.py. The D stage runs
+# directly on the flat tensor (pad planes excluded by zero matrix rows/cols);
+# the H/W stages run on the small packed-D intermediate, where the flat
+# borders are sliced off exactly. Same matrices, same axis order, and same
+# packing as dht_crop / dht_pad_inverse, so values agree to fp rounding.
+# ---------------------------------------------------------------------------
+
+def dht_crop_flat(x_flat: jax.Array, g, modes: Sequence[int]) -> jax.Array:
+    """Forward DHT of a flat volume to the packed corner spectrum.
+
+    Args:
+        x_flat: (Dp, C, Npl) flat tensor; H/W borders and D pad planes may
+            be dirty (excluded exactly by the zero matrix rows and the
+            small-tensor border slice).
+        g: FlatGeom of the volume.
+        modes: (m_d, m_h, m_w), already clipped.
+
+    Returns:
+        (1, 2m_d, 2m_h, 2m_w, C) — identical packing to ``dht_crop``.
+    """
+    dt = x_flat.dtype
+    md, mh, mw = modes
+    c1, s1 = _dft_mats_np(g.d, md, True, False, -1)
+    m1 = np.zeros((g.dp, 2 * md, 2), np.float64)
+    m1[1:g.d + 1] = np.stack([c1, s1], axis=-1)    # zero rows at D pads
+    y = jnp.einsum("dcn,dkq->kqcn", x_flat, jnp.asarray(m1, dt),
+                   precision=_prec(dt))
+    # unflatten the plane and slice the (possibly dirty) borders — exact
+    nc = x_flat.shape[1]
+    y = y[..., :g.np].reshape(2 * md, 2, nc, g.hp, g.wp)
+    y = y[..., 1:g.h + 1, 1:g.w + 1]               # (K, Q, C, H, W)
+
+    ch, sh = _dft_mats_np(g.h, mh, True, False, -1)
+    cw, sw = _dft_mats_np(g.w, mw, True, False, -1)
+    stages = [(2, "mid", _stage_matrix(ch, sh, "mid", dt)),
+              (3, "fold", _stage_matrix(cw, sw, "fold", dt))]
+    y = _cas_chain(y, stages)                      # (K, C, Kh, Kw)
+    return jnp.transpose(y, (0, 2, 3, 1))[None]
+
+
+def dht_pad_inverse_flat(packed: jax.Array, g) -> jax.Array:
+    """Inverse DHT from the packed corner spectrum to a flat volume.
+
+    Args:
+        packed: (1, 2m_d, 2m_h, 2m_w, C) as produced by ``dht_crop_flat``
+            / ``dht_crop``.
+        g: FlatGeom of the target volume.
+
+    Returns:
+        (Dp, C, Npl) with CLEAN zero borders and zero D pad planes.
+    """
+    dt = packed.dtype
+    kd, kh, kw = packed.shape[1:4]
+    md, mh, mw = kd // 2, kh // 2, kw // 2
+    x = packed[0]                                   # (Kd, Kh, Kw, C)
+
+    cw, sw = _dft_mats_np(g.w, mw, False, False, -1)
+    ch, sh = _dft_mats_np(g.h, mh, False, False, -1)
+    stages = [(2, "first", _stage_matrix(cw, sw, "first", dt)),
+              (1, "mid", _stage_matrix(ch, sh, "mid", dt))]
+    x = _cas_chain(x, stages)                       # (Kd, P, H, W, C)
+
+    x = jnp.transpose(x, (0, 1, 4, 2, 3))           # (Kd, Q, C, H, W)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+    nc = x.shape[2]
+    x = x.reshape(kd, 2, nc, g.np)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, g.npl - g.np)))
+
+    cd, sd = _dft_mats_np(g.d, md, False, False, -1)
+    mfold = _stage_matrix(cd, sd, "fold", dt)
+    mfold = jnp.pad(mfold, ((0, 0), (0, 0), (1, 1)))  # zero cols at D pads
+    return jnp.einsum("kqcn,kqd->dcn", x, mfold, precision=_prec(dt))

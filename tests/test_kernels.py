@@ -141,3 +141,39 @@ def test_vnetds_conv_in_kernel_matches_module_path(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(m_pal_s.apply({"params": p_s}, x)),
         np.asarray(m_ref_s.apply({"params": p_s}, x)), atol=1e-5)
+
+
+def test_hnosegxs_flat_path_matches_module_path(monkeypatch):
+    """Flat-layout (Dp, C, Npl) execution: same param tree, same outputs
+    as the module path (TPU gate bypassed; kernels run in interpret)."""
+    from multimodal_3d_image_segmentation_tpu.models import hnosegxs
+
+    monkeypatch.setattr(
+        hnosegxs.HNOSegXS, "_use_flat_blocks",
+        lambda self, x_cf: (self.use_flat and self.ndim == 5
+                            and self.channel_first_io
+                            and x_cf.shape[0] == 1
+                            and self.weights_type == "shared"
+                            and self.use_block_concat))
+
+    for kw in [
+        dict(in_channels=2, out_channels=3, filters=8,
+             num_transform_blocks=[2, 2], num_modes=(3, 4, 4)),
+        dict(in_channels=2, out_channels=3, filters=8,
+             num_transform_blocks=[1, 1, 1], num_modes=(3, 4, 4),
+             use_deep_supervision=True),
+        dict(in_channels=2, out_channels=3, filters=8,
+             num_transform_blocks=[2], num_modes=(3, 4, 4),
+             use_resize=False),
+    ]:
+        m_ref = models.HNOSegXS(**kw, use_pallas=False)
+        m_flat = models.HNOSegXS(**kw, use_flat=True)
+        x = jnp.asarray(np.random.default_rng(5).standard_normal(
+            (1, 2, 16, 16, 12)).astype(np.float32))
+        p_ref = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+        p_flat = m_flat.init(jax.random.PRNGKey(0), x)["params"]
+        assert (jax.tree_util.tree_structure(p_ref)
+                == jax.tree_util.tree_structure(p_flat)), kw
+        y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
+        y_flat = np.asarray(m_flat.apply({"params": p_ref}, x))
+        np.testing.assert_allclose(y_flat, y_ref, atol=2e-5, err_msg=str(kw))
