@@ -100,7 +100,8 @@ def _dot_f32(a, b, precision):
 
 def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
                   a_ref, bpend_ref, xcol_ref, *,
-                  ci, co, wp, npl, dp, precision, prologue_act, has_pro):
+                  ci, co, wp, npl, dp, precision, prologue_act, has_pro,
+                  dilated_depth):
     i = pl.program_id(0)
     f32 = jnp.float32
 
@@ -113,7 +114,15 @@ def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
         act = _act_fn(prologue_act)
         if act is not None:
             xplane = act(xplane)
-    dflag = ((i > 0) & (i < dp - 1)).astype(f32)
+    if dilated_depth is None:
+        dflag = ((i > 0) & (i < dp - 1)).astype(f32)
+    else:
+        # D-dilated input (transposed convs): interior position q = i-1
+        # holds source plane q//2 iff q is even and q//2 < dilated_depth;
+        # the fetched (clipped) plane is zeroed otherwise.
+        q = i - 1
+        dflag = ((i > 0) & (i < dp - 1) & (q % 2 == 0)
+                 & (q // 2 < dilated_depth)).astype(f32)
     xplane = xplane * (m_ref[:] * dflag)           # zero borders + D pads
 
     for t in range(9):
@@ -133,20 +142,28 @@ def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret"))
+    jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret",
+                              "dilated_depth"))
 def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
-                     prologue_act, interpret):
+                     prologue_act, interpret, dilated_depth=None):
     ci = x_flat.shape[1]
     co = w72.shape[0] // 3
     has_pro = prologue is not None
     # bias as (co, 128) lane-broadcast row (scalar operands need 2D VMEM)
     bias2 = jnp.broadcast_to(bias[:, None], (co, 128))
 
+    if dilated_depth is None:
+        n_src = g.dp
+        x_index = lambda i: (jnp.minimum(i, n_src - 1), 0, 0)
+    else:
+        # x_flat holds only the source planes (dilated_depth + 2 pads);
+        # interior position q = i-1 reads source plane q//2 + 1
+        n_src = x_flat.shape[0]
+        x_index = lambda i: (jnp.clip((i - 1) // 2 + 1, 0, n_src - 1),
+                             0, 0)
     operands = [x_flat, w72, bias2, mask]
     in_specs = [
-        pl.BlockSpec((1, ci, g.npl), lambda i: (jnp.minimum(i, g.dp - 1),
-                                                0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci, g.npl), x_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((3 * co, 9 * ci), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((co, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -165,7 +182,8 @@ def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
 
     kern = functools.partial(
         _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
-        precision=precision, prologue_act=prologue_act, has_pro=has_pro)
+        precision=precision, prologue_act=prologue_act, has_pro=has_pro,
+        dilated_depth=dilated_depth)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype),
@@ -210,31 +228,46 @@ def _pack_w72(kernel):
     return w.reshape(3 * co, 9 * ci)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _dilate_d_flat(x_flat, g_out, d_src):
+    """XLA reference for the dilated-depth mode: materialize the D-dilated
+    flat volume (interior[2j] = src interior[j], odd planes zero)."""
+    planes = x_flat[1:d_src + 1]
+    zeros = jnp.zeros_like(planes)
+    inter = jnp.stack([planes, zeros], axis=1).reshape(
+        2 * d_src, x_flat.shape[1], x_flat.shape[2])
+    return jnp.pad(inter, ((1, 1), (0, 0), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _conv3_vjp(x_flat, kernel, bias, prologue, g, precision, prologue_act,
-               interpret):
+               interpret, dilated_depth):
     mask = jnp.asarray(g.interior_mask())
     return _conv3_flat_impl(x_flat, _pack_w72(kernel), bias, mask, prologue,
-                            g, precision, prologue_act, interpret)
+                            g, precision, prologue_act, interpret,
+                            dilated_depth=dilated_depth)
 
 
 def _conv3_fwd(x_flat, kernel, bias, prologue, g, precision, prologue_act,
-               interpret):
+               interpret, dilated_depth):
     out = _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
-                     prologue_act, interpret)
+                     prologue_act, interpret, dilated_depth)
     return out, (x_flat, kernel, bias, prologue)
 
 
-def _conv3_bwd(g, precision, prologue_act, interpret, res, grad):
+def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth, res,
+               grad):
     x_flat, kernel, bias, prologue = res
+
+    def f(xf, k, b, pro):
+        if dilated_depth is not None:
+            xf = _dilate_d_flat(xf, g, dilated_depth)
+        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act)
+
     if prologue is None:
-        def f(xf, k, b):
-            return _conv3_xla_reference(xf, k, b, None, g, prologue_act)
-        _, vjp = jax.vjp(f, x_flat, kernel, bias)
+        _, vjp = jax.vjp(lambda xf, k, b: f(xf, k, b, None),
+                         x_flat, kernel, bias)
         gx, gk, gb = vjp(grad)
         return gx, gk, gb, None
-    def f(xf, k, b, pro):
-        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act)
     _, vjp = jax.vjp(f, x_flat, kernel, bias, prologue)
     return vjp(grad)
 
@@ -246,7 +279,8 @@ def conv3_flat(x_flat: jax.Array, kernel: jax.Array, bias: jax.Array,
                g: FlatGeom, prologue: Optional[Tuple[jax.Array, jax.Array]]
                = None, prologue_act: Optional[str] = None,
                precision: str = "bf16x3",
-               interpret: Optional[bool] = None) -> jax.Array:
+               interpret: Optional[bool] = None,
+               dilated_depth: Optional[int] = None) -> jax.Array:
     """k=3/s=1 SAME conv on the flat padded layout.
 
     Args:
@@ -266,7 +300,7 @@ def conv3_flat(x_flat: jax.Array, kernel: jax.Array, bias: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
-                      prologue_act, bool(interpret))
+                      prologue_act, bool(interpret), dilated_depth)
 
 
 def apply_affine_act_flat(x_flat, scale, shift, act: Optional[str]):

@@ -18,6 +18,7 @@ Public contract: channel-first input (B, C, *spatial), softmax output
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -32,6 +33,7 @@ from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
+from ..ops.spectral import _prec
 
 __all__ = ["VNetDS", "NeuralOperatorSeg", "HartleyMHASeg",
            "NeuralOperatorBlock", "HartleyMHABlock"]
@@ -289,16 +291,283 @@ class HartleyMHASeg(_TransSegBase):
         return x
 
 
+def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5):
+    """GroupNorm(1) + activation on a flat tensor. Borders may be dirty:
+    moment sums mask them inside the (fused) reductions and the static
+    valid count makes the stats exact. Output borders stay/become dirty —
+    downstream flat consumers sanitize."""
+    c = y.shape[1]
+    mask = jnp.asarray(g.interior_mask(), jnp.float32)  # (1, Npl)
+    yin = y[1:g.d + 1].astype(jnp.float32) * mask[None]
+    n_valid = g.d * g.h * g.w * c
+    s = jnp.sum(yin)
+    s2 = jnp.sum(jax.lax.square(yin))
+    m = s / n_valid
+    var = s2 / n_valid - m * m
+    inv = jax.lax.rsqrt(var + eps)
+    eff_scale = (inv * scale.astype(jnp.float32)).astype(y.dtype)
+    eff_shift = (bias.astype(jnp.float32)
+                 - m * inv * scale.astype(jnp.float32)).astype(y.dtype)
+    out = y * eff_scale[None, :, None] + eff_shift[None, :, None]
+    act = get_activation(activation)
+    return act(out) if act is not None else out
+
+
+class _GNParams(nn.Module):
+    """Param-only holder matching nn.GroupNorm's tree (scale, bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+@functools.lru_cache(maxsize=32)
+def _lane_src_indices_np(g_src, g_dst, mapping):
+    """Per-destination-lane source index (int32; -1 = zero output).
+
+    ``mapping``: 'decimate2' (dst (h,w) <- src (2h, 2w)),
+    'interleave2' (dst (2h, 2w) <- src (h, w); other dst lanes zero),
+    ('crop', oh, ow) (dst (h,w) <- src (h+oh, w+ow)), 'nearest'
+    (floor-index nearest-neighbor map, exactly ``resize_nearest``'s
+    formula). Destination borders always map to zero (clean)."""
+    idx = np.full((g_dst.npl,), -1, np.int32)
+    for h in range(g_dst.h):
+        for w in range(g_dst.w):
+            if mapping == "decimate2":
+                sh, sw = 2 * h, 2 * w
+            elif mapping == "interleave2":
+                if h % 2 or w % 2:
+                    continue
+                sh, sw = h // 2, w // 2
+            elif mapping == "nearest":
+                sh = min(int(np.floor(h * (g_src.h / g_dst.h))),
+                         g_src.h - 1)
+                sw = min(int(np.floor(w * (g_src.w / g_dst.w))),
+                         g_src.w - 1)
+            elif mapping[0] == "crop":
+                sh, sw = h + mapping[1], w + mapping[2]
+            else:
+                raise ValueError(mapping)
+            if sh >= g_src.h or sw >= g_src.w:
+                continue
+            idx[(h + 1) * g_dst.wp + (w + 1)] = (sh + 1) * g_src.wp + (sw + 1)
+    return idx
+
+
+def _lane_selection(g_src, g_dst, mapping, dtype):
+    """Build the (Npl_src, Npl_dst) 0/1 selection matrix ON DEVICE from the
+    small index vector (an iota comparison) — embedding the dense matrix
+    as a program constant blows the compile-request size at L0 scale."""
+    idx = jnp.asarray(_lane_src_indices_np(g_src, g_dst, mapping))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (g_src.npl, g_dst.npl), 0)
+    return (iota == idx[None, :]).astype(dtype)
+
+
+def _flat_crop(x, g_src, g_dst):
+    """Center-crop a flat volume to a smaller geometry, exactly matching
+    ``spatial_padcrop``'s crop offsets (lo = d//2 per axis)."""
+    od = (g_src.d - g_dst.d) // 2
+    oh = (g_src.h - g_dst.h) // 2
+    ow = (g_src.w - g_dst.w) // 2
+    planes = x[1 + od:1 + od + g_dst.d]
+    planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
+    if (g_src.h, g_src.w) == (g_dst.h, g_dst.w) and g_src.npl == g_dst.npl:
+        return planes
+    sel = _lane_selection(g_src, g_dst, ("crop", oh, ow), x.dtype)
+    return jnp.einsum("dcn,nm->dcm", planes, sel, precision=_prec(x.dtype))
+
+
+def _flat_nearest_upsample(x, g_src, g_dst):
+    """Nearest-neighbor upsample in flat space (floor indexing, exactly
+    ``resize_nearest``): D via an interior plane gather, (H, W) via a 0/1
+    lane-selection einsum. Destination borders come out clean."""
+    if g_src.d != g_dst.d:
+        idx = np.minimum(np.floor(
+            np.arange(g_dst.d) * (g_src.d / g_dst.d)).astype(np.int64),
+            g_src.d - 1)
+        planes = jnp.take(x[1:g_src.d + 1], jnp.asarray(idx), axis=0)
+        x = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
+    if (g_src.h, g_src.w) != (g_dst.h, g_dst.w) or g_src.npl != g_dst.npl:
+        sel = _lane_selection(g_src, g_dst, "nearest", x.dtype)
+        x = jnp.einsum("dcn,nm->dcm", x, sel, precision=_prec(x.dtype))
+    return x
+
+
+def _lane_select(x, g_src, g_dst, mapping):
+    sel = _lane_selection(g_src, g_dst, mapping, x.dtype)
+    return jnp.einsum("dcn,nm->dcm", x, sel, precision=_prec(x.dtype))
+
+
+class _FlatConvNormAct(nn.Module):
+    """ConvNormAct on the flat layout: k=3 via the Pallas streaming kernel
+    (1x1 as a flat einsum), GroupNorm(1) from exact masked moments, then
+    activation. Parameter tree identical to ConvNormAct
+    (``<name>/conv/{kernel,bias}`` [+ ``/norm/{scale,bias}``]).
+
+    ``g_half``: stride-2 mode — the conv runs at full resolution (the
+    streaming kernel is stride-1) and the output is decimated exactly
+    (odd-flat-plane slice + 0/1 lane-selection einsum, phase (2i, 2j));
+    GroupNorm stats are computed on the decimated volume, matching the
+    strided ConvNormAct in exact arithmetic.
+    """
+    features: int
+    g: object  # FlatGeom of the INPUT volume
+    kernel_size: int = 3
+    activation: Union[str, Callable, None] = "elu"
+    use_snn: bool = False
+    g_half: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels.conv3d_flat import conv3_flat
+        from .hnosegxs import _ConvParams
+        snn = self.use_snn and is_selu(self.activation)
+        cin = x.shape[1]
+        kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
+                                   snn, name="conv")()
+        if self.kernel_size == 1:
+            mat = kernel.reshape(cin, self.features)
+            y = jnp.einsum("dcn,co->don", x, mat.astype(x.dtype),
+                           precision=_prec(x.dtype))
+            y = y + bias.astype(y.dtype)[None, :, None]
+        else:
+            y = conv3_flat(x, kernel.astype(x.dtype), bias.astype(x.dtype),
+                           self.g)
+        g_out = self.g
+        if self.g_half is not None:
+            gh = self.g_half
+            # strided output i2 = full-res output at interior plane 2*i2,
+            # i.e. flat plane 2*i2 + 1: leading-dim split (free) + a unit
+            # slice beat a strided major slice
+            planes = y[:2 * gh.d].reshape(gh.d, 2, y.shape[1],
+                                          y.shape[2])[:, 1]
+            planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
+            y = _lane_select(planes, self.g, gh, "decimate2")
+            g_out = gh
+        if not self.use_snn:
+            scale, gbias = _GNParams(self.features, name="norm")()
+            return _flat_gn_act(y, g_out, scale, gbias, self.activation)
+        act = get_activation(self.activation)
+        return act(y) if act is not None else y
+
+
+class _FlatConvTransposeNormAct(nn.Module):
+    """ConvTransposeNormAct on the flat layout: zero-interleave to the
+    doubled geometry (plane interleave + 0/1 lane selection), then the
+    stride-1 streaming kernel with the spatially flipped kernel — exactly
+    torch's stride-2/padding-1/output-padding-1 transposed conv (the flat
+    borders supply the conv padding). Parameter tree identical to
+    ConvTransposeNormAct."""
+    features: int
+    g: object      # input FlatGeom (n)
+    g2: object     # output FlatGeom (2n)
+    activation: Union[str, Callable, None] = "elu"
+
+    @nn.compact
+    def __call__(self, x):
+        from ..kernels.conv3d_flat import conv3_flat
+        from ..ops import initializers as inits
+        snn = is_selu(self.activation)
+        cin = x.shape[1]
+        k = (3, 3, 3)
+        fan_in = self.features * 27  # torch ConvTranspose fan-in
+        w_init = (inits.kaiming_normal_linear(fan_in) if snn
+                  else inits.kaiming_uniform_a5(fan_in))
+        # params under <name>/conv/{kernel,bias} like ConvTransposeNormAct
+        kernel, bias = _ConvTParams(self.features, cin, w_init, snn,
+                                    name="conv")()
+
+        # lane-interleave on the HALF-depth volume (half the einsum), then
+        # the kernel's dilated-depth mode supplies the interleaved-zero
+        # planes from the index map + parity flag (nothing materialized)
+        g, g2 = self.g, self.g2
+        up = _lane_select(x, g, g2, "interleave2")   # (Dp_src, C, Npl2)
+        flipped = jnp.flip(kernel, axis=(0, 1, 2))
+        y = conv3_flat(up, flipped.astype(x.dtype), bias.astype(x.dtype),
+                       g2, dilated_depth=g.d)
+        if not snn:
+            scale, gbias = _GNParams(self.features, name="norm")()
+            return _flat_gn_act(y, g2, scale, gbias, self.activation)
+        act = get_activation(self.activation)
+        return act(y) if act is not None else y
+
+
+class _FlatDSHead(nn.Module):
+    """Deep-supervision head on the flat layout: project each right-leg
+    tensor at its own resolution (virtual concat), nearest-upsample the
+    ``features``-channel results, sum, bias, GroupNorm, activation —
+    ConcatConvNormAct's exact parameter tree (``conv_ds/conv`` [+
+    ``/norm``]) and project-then-upsample semantics."""
+    features: int
+    fan_in: int
+    activation: Union[str, Callable, None]
+    use_snn: bool
+    g_dst: object
+
+    @nn.compact
+    def __call__(self, legs):
+        from .hnosegxs import _ConvParams
+        snn = self.use_snn and is_selu(self.activation)
+        kernel, bias = _ConvParams(self.features, self.fan_in, 1, snn,
+                                   name="conv")()
+        mat = kernel.reshape(self.fan_in, self.features)
+        y = None
+        off = 0
+        for t, g_src in legs:
+            c = t.shape[1]
+            part = jnp.einsum("dcn,co->don", t,
+                              mat[off:off + c].astype(t.dtype),
+                              precision=_prec(t.dtype))
+            if g_src != self.g_dst:
+                part = _flat_nearest_upsample(part, g_src, self.g_dst)
+            y = part if y is None else y + part
+            off += c
+        assert off == self.fan_in
+        y = y + bias.astype(y.dtype)[None, :, None]
+        if not self.use_snn:
+            scale, gbias = _GNParams(self.features, name="norm")()
+            return _flat_gn_act(y, self.g_dst, scale, gbias,
+                                self.activation)
+        act = get_activation(self.activation)
+        return act(y) if act is not None else y
+
+
+class _ConvTParams(nn.Module):
+    """Param-only holder matching ConvTranspose's tree/init (kernel shape
+    k + (in, out), torch transpose fan-in = out * prod(k))."""
+    features: int
+    in_features: int
+    w_init: Callable
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        from ..ops import initializers as inits
+        kernel = self.param("kernel", self.w_init,
+                            (3, 3, 3, self.in_features, self.features))
+        fan_in = self.features * 27
+        b_init = (inits.snn_bias() if self.snn_init
+                  else inits.torch_conv_bias(fan_in))
+        bias = self.param("bias", b_init, (self.features,))
+        return kernel, bias
+
+
 class _VNetConvIn(nn.Module):
     """conv_in (k=2/s=2) via the fused Pallas kernel, reading the raw
     channel-first input, with ConvNormAct's exact parameter tree
     (``conv_in/conv/{kernel,bias}`` [+ ``conv_in/norm/{scale,bias}``]).
     The kernel fuses SELU when use_snn; otherwise GroupNorm + activation
-    run in XLA on the kernel output, matching ConvNormAct semantics."""
+    run in XLA on the kernel output, matching ConvNormAct semantics.
+    ``emit_flat``: return ``(flat (Dp, F, Npl), FlatGeom)`` instead of
+    channels-last (the V-Net flat path's entry)."""
     features: int
     in_features: int
     activation: Union[str, Callable, None]
     use_snn: bool
+    emit_flat: bool = False
 
     @nn.compact
     def __call__(self, x_cf):
@@ -307,6 +576,24 @@ class _VNetConvIn(nn.Module):
         snn = self.use_snn and is_selu(self.activation)
         kernel, bias = _ConvParams(self.features, self.in_features, 2,
                                    snn, name="conv")()
+        if self.emit_flat:
+            from ..ops.flatvol import flat_geom
+            y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
+                            bias.astype(x_cf.dtype), channels_middle=True,
+                            apply_selu=False)
+            y = jnp.transpose(y[0], (0, 2, 1, 3))      # (D2, F, H2, W2)
+            g = flat_geom(y.shape[0], y.shape[2], y.shape[3])
+            y = jnp.pad(y, ((1, 1), (0, 0), (1, 1), (1, 1)))
+            y = y.reshape(g.dp, self.features, g.np)
+            y = jnp.pad(y, ((0, 0), (0, 0), (0, g.npl - g.np)))
+            if not self.use_snn:
+                scale, gbias = _GNParams(self.features, name="norm")()
+                y = _flat_gn_act(y, g, scale, gbias, self.activation)
+            else:
+                act = get_activation(self.activation)
+                if act is not None:
+                    y = act(y)
+            return y, g
         y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
                         bias.astype(x_cf.dtype), apply_selu=snn)
         if not self.use_snn:
@@ -350,10 +637,115 @@ class VNetDS(nn.Module):
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and jax.default_backend() == "tpu")
 
+    def _use_flat(self, x_cf):
+        """Whole-network flat-layout execution (Pallas streaming convs,
+        exact masked GroupNorm, selection-matrix down/up sampling):
+        3D, batch 1, channel-first IO, on a real TPU."""
+        return (self.use_pallas and self.ndim == 5
+                and self.channel_first_io and x_cf.shape[0] == 1
+                and jax.default_backend() == "tpu")
+
+    def _flat_forward(self, x, in_dtype):
+        from ..ops.flatvol import flat_geom, from_flat, to_flat
+
+        right_leg_indexes = self.right_leg_indexes
+        if right_leg_indexes is None:
+            right_leg_indexes = [0]
+        image_size = x.shape[2:]
+        x = x.astype(self.compute_dtype)
+        base = self.base_num_filters
+
+        if self.use_resize:
+            x, g = _VNetConvIn(base, x.shape[1], self.activation,
+                               self.use_snn, emit_flat=True,
+                               name="conv_in")(x)
+        else:
+            g = flat_geom(*x.shape[2:])
+            x = to_flat(x[0], g)
+
+        def conv(features, name, geom, kernel_size=3, g_half=None):
+            return _FlatConvNormAct(features, geom, kernel_size=kernel_size,
+                                    activation=self.activation,
+                                    use_snn=self.use_snn, g_half=g_half,
+                                    name=name)
+
+        num_sections = len(self.num_blocks)
+        encode_tensors, encode_geoms = {}, {}
+        right_leg, right_leg_ref, leg_geoms = [], {}, {}
+
+        for i in range(num_sections):
+            filters = base * (2 ** i)
+            tmp = x if self.use_residual else None
+            for j in range(self.num_blocks[i]):
+                x = conv(filters, f"encode_{i}_conv_{j}", g)(x)
+            if tmp is not None:
+                x = x + conv(filters, f"encode_{i}_residual", g,
+                             kernel_size=1)(tmp)
+            if i != num_sections - 1:
+                encode_tensors[i], encode_geoms[i] = x, g
+                g_half = flat_geom((g.d - 1) // 2 + 1, (g.h - 1) // 2 + 1,
+                                   (g.w - 1) // 2 + 1)
+                x = conv(filters, f"encode_{i}_down", g, g_half=g_half)(x)
+                g = g_half
+            elif i in right_leg_indexes:
+                right_leg.append((i, x))
+                right_leg_ref[i] = x
+                leg_geoms[i] = g
+
+        for i in reversed(range(num_sections - 1)):
+            filters = base * (2 ** i)
+            g2 = flat_geom(2 * g.d, 2 * g.h, 2 * g.w)
+            x = _FlatConvTransposeNormAct(filters, g, g2,
+                                          activation=self.activation,
+                                          name=f"decode_{i}_up")(x)
+            g = g2
+            ge = encode_geoms[i]
+            if (g.d, g.h, g.w) != (ge.d, ge.h, ge.w):
+                x = _flat_crop(x, g, ge)
+                g = ge
+            x = jnp.concatenate([x, encode_tensors[i]], axis=1)
+            tmp = x if self.use_residual else None
+            for j in range(self.num_blocks[i]):
+                x = conv(filters, f"decode_{i}_conv_{j}", g)(x)
+            if tmp is not None:
+                x = x + conv(filters, f"decode_{i}_residual", g,
+                             kernel_size=1)(tmp)
+            if i in right_leg_indexes:
+                right_leg.append((i, x))
+                right_leg_ref[i] = x
+                leg_geoms[i] = g
+
+        if len(right_leg) == 1:
+            x = right_leg_ref[0]
+            g0 = leg_geoms[0]
+        else:
+            g0 = leg_geoms[0]
+            fan_in = sum(t.shape[1] for _, t in right_leg)
+            x = _FlatDSHead(self.out_channels, fan_in, self.activation,
+                            self.use_snn, g0, name="conv_ds")(
+                [(t, leg_geoms[idx]) for idx, t in right_leg])
+
+        from .hnosegxs import _Conv1x1Weight
+        snn = self.use_snn and is_selu(self.activation)
+        kern = _Conv1x1Weight(self.out_channels, x.shape[1], snn,
+                              name="conv_out")()
+        mat = kern.reshape(x.shape[1], self.out_channels)
+        x = jnp.einsum("dcn,co->don", x, mat.astype(x.dtype),
+                       precision=_prec(x.dtype))
+
+        x = from_flat(x, g0)[None]                 # (1, out, D2, H2, W2)
+        if self.use_resize:
+            x = resize_linear(x, image_size, channel_first=True)
+        x = spatial_padcrop(x, image_size, channel_first=True)
+        x = x.astype(in_dtype)
+        return _apply_output_activation(x, self.output_activation, axis=1)
+
     @nn.compact
     def __call__(self, x):
         assert self.ndim in (4, 5)
         assert isinstance(self.num_blocks, (list, tuple))
+        if self._use_flat(x):
+            return self._flat_forward(x, x.dtype)
         conv_in_kernel = self._use_conv_in_kernel(x)
         if self.channel_first_io and not conv_in_kernel:
             x = _to_channels_last(x)

@@ -177,3 +177,39 @@ def test_hnosegxs_flat_path_matches_module_path(monkeypatch):
         y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
         y_flat = np.asarray(m_flat.apply({"params": p_ref}, x))
         np.testing.assert_allclose(y_flat, y_ref, atol=2e-5, err_msg=str(kw))
+
+
+def test_vnetds_flat_path_matches_module_path(monkeypatch):
+    """V-Net-DS flat-layout execution: same param tree, same outputs as
+    the channels-last module path (TPU gate bypassed; kernels interpret)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.VNetDS, "_use_flat",
+        lambda self, x_cf: (self.use_pallas and self.ndim == 5
+                            and self.channel_first_io
+                            and x_cf.shape[0] == 1))
+
+    for kw in [
+        dict(in_channels=2, out_channels=3, base_num_filters=4,
+             num_blocks=[1, 2, 2], right_leg_indexes=[0, 1, 2]),
+        dict(in_channels=2, out_channels=3, base_num_filters=4,
+             num_blocks=[1, 2], right_leg_indexes=[0],
+             activation="selu", use_snn=True),
+        dict(in_channels=2, out_channels=3, base_num_filters=4,
+             num_blocks=[1, 1], use_residual=False, use_resize=False),
+    ]:
+        m_ref = models.VNetDS(**kw)
+        m_flat = models.VNetDS(**kw, use_pallas=True)
+        x = jnp.asarray(np.random.default_rng(7).standard_normal(
+            (1, 2, 16, 16, 12)).astype(np.float32))
+        p_ref = m_ref.init(jax.random.PRNGKey(0), x)["params"]
+        p_flat = m_flat.init(jax.random.PRNGKey(0), x)["params"]
+        assert (jax.tree_util.tree_structure(p_ref)
+                == jax.tree_util.tree_structure(p_flat)), kw
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_flat)):
+            assert a.shape == b.shape
+        y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
+        y_flat = np.asarray(m_flat.apply({"params": p_ref}, x))
+        np.testing.assert_allclose(y_flat, y_ref, atol=3e-5, err_msg=str(kw))
