@@ -24,7 +24,8 @@ CONFIGS = {
     "HNOSeg": models.NeuralOperatorSeg(4, 4, 24, 24, (10, 14, 14),
                                        "Hartley"),
     "V-Net-DS": models.VNetDS(4, 4, 24, [1, 2, 3, 3, 3],
-                              right_leg_indexes=[0, 1, 2, 3, 4]),
+                              right_leg_indexes=[0, 1, 2, 3, 4],
+                              use_pallas=True),
     "HartleyMHA": models.HartleyMHASeg(4, 4, 24, 16, 4, (8, 12, 12), 2),
 }
 
