@@ -13,7 +13,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["get_lib", "affine_nn", "zscore_masked", "available"]
+__all__ = ["get_lib", "affine_nn", "zscore_masked", "available",
+           "gunzip", "gunzip_batch"]
 
 _LIB = None
 _TRIED = False
@@ -30,7 +31,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-fopenmp", "-shared", "-o", _SO_PATH,
-             src],
+             src, "-lz"],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -61,6 +62,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                  ctypes.c_float]
     lib.zscore_masked.argtypes = [c_float_p, ctypes.c_int64, ctypes.c_float,
                                   ctypes.c_int]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gunzip_file.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int64]
+    lib.gunzip_file.restype = ctypes.c_int64
+    lib.gunzip_batch.argtypes = [ctypes.c_int32,
+                                 ctypes.POINTER(ctypes.c_char_p),
+                                 ctypes.POINTER(u8p),
+                                 ctypes.POINTER(ctypes.c_int64),
+                                 ctypes.POINTER(ctypes.c_int64)]
     _LIB = lib
     return _LIB
 
@@ -109,3 +118,62 @@ def zscore_masked(data: np.ndarray, mask_val=None) -> Optional[np.ndarray]:
                       ctypes.c_float(0.0 if mask_val is None else mask_val),
                       ctypes.c_int(0 if mask_val is None else 1))
     return x
+
+
+def _gz_isize(path) -> int:
+    """Uncompressed size from the gzip ISIZE trailer (mod 2^32; callers
+    fall back to Python on multi-member files where this undercounts)."""
+    with open(path, "rb") as f:
+        f.seek(-4, os.SEEK_END)
+        return int.from_bytes(f.read(4), "little")
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def gunzip(path) -> Optional[np.ndarray]:
+    """Native decompress of one .gz file; uint8 array or None (fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        isize = _gz_isize(path)
+    except OSError:
+        return None
+    if isize <= 0:
+        return None
+    buf = np.empty(isize, np.uint8)
+    n = lib.gunzip_file(os.fspath(path).encode(), _u8ptr(buf),
+                        ctypes.c_int64(isize))
+    if n != isize:
+        return None
+    return buf
+
+
+def gunzip_batch(paths) -> Optional[list]:
+    """Parallel decompress of many .gz files (OpenMP; GIL released for the
+    whole batch). Returns a list of uint8 arrays, entries None where the
+    native path could not handle the file; or None if the library is
+    missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    bufs, caps = [], (ctypes.c_int64 * n)()
+    cpaths = (ctypes.c_char_p * n)()
+    outs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    for i, p in enumerate(paths):
+        try:
+            isize = _gz_isize(p)
+        except OSError:
+            isize = 0
+        buf = np.empty(max(isize, 1), np.uint8)
+        bufs.append((buf, isize))
+        caps[i] = isize
+        cpaths[i] = os.fspath(p).encode()
+        outs[i] = _u8ptr(buf)
+    sizes = (ctypes.c_int64 * n)()
+    lib.gunzip_batch(ctypes.c_int32(n), cpaths, outs, caps, sizes)
+    return [buf if (isize > 0 and sizes[i] == isize) else None
+            for i, (buf, isize) in enumerate(bufs)]

@@ -25,7 +25,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["NiftiImage", "read_image", "read_img", "write_image", "get_spacing"]
+__all__ = ["NiftiImage", "read_image", "read_images", "read_img",
+           "write_image", "get_spacing"]
 
 _DTYPES = {
     2: np.uint8,
@@ -62,11 +63,47 @@ def _open_maybe_gzip(filename, mode="rb"):
     return open(filename, mode)
 
 
+def _read_raw(filename):
+    """Whole-file bytes, decompressed: native zlib (gzread, ~2-4x Python's
+    gzip) with transparent fallback."""
+    if str(filename).endswith(".gz"):
+        from . import native
+        buf = native.gunzip(filename)
+        if buf is not None:
+            return buf
+    with _open_maybe_gzip(filename) as f:
+        return f.read()
+
+
 def read_image(filename) -> NiftiImage:
     """Read a .nii / .nii.gz file."""
-    with _open_maybe_gzip(filename) as f:
-        raw = f.read()
+    raw = _read_raw(filename)
+    return _parse_nifti(raw, filename)
 
+
+def read_images(filenames):
+    """Read many files with the native parallel decompressor (one OpenMP
+    task per file, GIL released for the whole batch); per-file fallback to
+    the serial reader. Returns a list of NiftiImage."""
+    from . import native
+    gz_idx = [i for i, fn in enumerate(filenames)
+              if str(fn).endswith(".gz")]
+    raws = [None] * len(filenames)
+    if gz_idx:
+        batch = native.gunzip_batch([filenames[i] for i in gz_idx])
+        if batch is not None:
+            for i, buf in zip(gz_idx, batch):
+                raws[i] = buf
+    out = []
+    for fn, raw in zip(filenames, raws):
+        if raw is None:
+            out.append(read_image(fn))
+        else:
+            out.append(_parse_nifti(raw, fn))
+    return out
+
+
+def _parse_nifti(raw, filename) -> NiftiImage:
     if len(raw) < 352:
         raise ValueError(f"{filename}: too short for a NIfTI-1 file")
 
@@ -89,7 +126,7 @@ def read_image(filename) -> NiftiImage:
     srow_y = struct.unpack_from(bo + "4f", raw, 296)
     srow_z = struct.unpack_from(bo + "4f", raw, 312)
     sform_code = struct.unpack_from(bo + "h", raw, 254)[0]
-    magic = raw[344:348]
+    magic = bytes(raw[344:348])
     if magic not in (b"n+1\x00", b"ni1\x00", b"n+2\x00"):
         raise ValueError(f"{filename}: bad NIfTI magic {magic!r}")
 

@@ -220,8 +220,9 @@ def run(config_args):
                                     f"{i}_true.nii.gz") for i in ids]
             fn_pred = [os.path.join(str(test_dir), "images",
                                     f"{i}_pred.nii.gz") for i in ids]
-            y_true = [read_image(fn).array for fn in fn_true]
-            y_pred = [read_image(fn).array for fn in fn_pred]
+            from ..data.nifti import read_images
+            y_true = [im.array for im in read_images(fn_true)]
+            y_pred = [im.array for im in read_images(fn_pred)]
             assert len(y_true) == len(y_pred)
             if is_print:
                 print(f"There are {len(y_true)} samples loaded.")

@@ -111,3 +111,52 @@ void zscore_masked(float* data, int64_t n, float mask_val, int use_mask) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native NIfTI IO plane: zlib gunzip with a parallel batch entry point.
+// The Python reader (data/nifti.py) parses headers; decompression is the
+// hot part of file loading and gzread runs ~2-4x faster than Python's
+// gzip module, with OpenMP fanning a batch across cores (the ctypes call
+// releases the GIL for the whole batch).
+// ---------------------------------------------------------------------------
+
+#include <zlib.h>
+#include <algorithm>
+
+extern "C" {
+
+// Decompress a .gz file into out (cap bytes). Returns bytes written,
+// -1 on open/read error, -2 if the buffer is too small (e.g. multi-member
+// gzip whose ISIZE trailer undercounts) — callers fall back to Python.
+int64_t gunzip_file(const char* path, uint8_t* out, int64_t cap) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+  gzbuffer(f, 1u << 20);
+  int64_t total = 0;
+  while (true) {
+    const unsigned chunk = (unsigned)std::min<int64_t>(cap - total, 1 << 26);
+    if (chunk == 0) {
+      uint8_t probe;
+      const int m = gzread(f, &probe, 1);
+      gzclose(f);
+      return m > 0 ? -2 : total;
+    }
+    const int n = gzread(f, out + total, chunk);
+    if (n < 0) { gzclose(f); return -1; }
+    if (n == 0) break;
+    total += n;
+  }
+  gzclose(f);
+  return total;
+}
+
+// Parallel batch decompress (one file per task).
+void gunzip_batch(int32_t n, const char** paths, uint8_t** outs,
+                  const int64_t* caps, int64_t* sizes) {
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t i = 0; i < n; ++i) {
+    sizes[i] = gunzip_file(paths[i], outs[i], caps[i]);
+  }
+}
+
+}  // extern "C"

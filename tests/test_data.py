@@ -266,3 +266,41 @@ def test_shipped_split_examples():
     all_ids = set().union(*per_split.values())
     assert len(all_ids) == 1251
     assert sum(len(s) for s in per_split.values()) == 1251  # disjoint
+
+
+def test_native_gunzip_matches_python(tmp_path):
+    """Native zlib decompressor returns byte-identical content; batch and
+    single paths agree with the Python reader."""
+    import gzip
+    from multimodal_3d_image_segmentation_tpu.data import native, nifti
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    paths, arrays = [], []
+    for i in range(3):
+        arr = rng.integers(0, 500, (20, 24, 18)).astype(np.int16)
+        fn = str(tmp_path / f"v{i}.nii.gz")
+        nifti.write_image(arr, fn, spacing=(1.0, 1.5, 2.0))
+        paths.append(fn)
+        arrays.append(arr)
+
+    buf = native.gunzip(paths[0])
+    with gzip.open(paths[0]) as f:
+        assert buf is not None and buf.tobytes() == f.read()
+
+    imgs = nifti.read_images(paths)
+    for img, arr in zip(imgs, arrays):
+        np.testing.assert_array_equal(img.array, arr)
+        np.testing.assert_allclose(img.spacing, (1.0, 1.5, 2.0), rtol=1e-6)
+
+    # corrupted trailer -> native declines, Python reader raises cleanly
+    bad = str(tmp_path / "bad.nii.gz")
+    with open(bad, "wb") as f:
+        f.write(b"\x1f\x8b" + b"\x00" * 20)
+    assert native.gunzip(bad) is None
+
+    # non-gz path still works through read_images
+    plain = str(tmp_path / "v.nii")
+    nifti.write_image(arrays[0], plain)
+    np.testing.assert_array_equal(nifti.read_images([plain])[0].array,
+                                  arrays[0])

@@ -213,3 +213,72 @@ def test_vnetds_flat_path_matches_module_path(monkeypatch):
         y_ref = np.asarray(m_ref.apply({"params": p_ref}, x))
         y_flat = np.asarray(m_flat.apply({"params": p_ref}, x))
         np.testing.assert_allclose(y_flat, y_ref, atol=3e-5, err_msg=str(kw))
+
+
+def test_conv3_flat_gradients_match_xla():
+    """Custom VJP of the flat conv kernel == autodiff of the XLA
+    formulation (both interpret-mode here)."""
+    from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat import (
+        conv3_flat, flat_geom, to_flat, _conv3_xla_reference)
+    rng = np.random.default_rng(11)
+    g = flat_geom(5, 8, 10)
+    x = to_flat(jnp.asarray(rng.standard_normal((8, 5, 8, 10)),
+                            jnp.float32), g)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+
+    def loss_k(xf, kk, bb):
+        return jnp.sum(conv3_flat(xf, kk, bb, g) ** 2)
+
+    def loss_r(xf, kk, bb):
+        return jnp.sum(_conv3_xla_reference(xf, kk, bb, None, g, None) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a, bb in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=1e-3)
+
+    # prologue-fused variant also differentiates (incl. wrt scale/shift)
+    scale = jnp.asarray(rng.standard_normal(8) * 0.1 + 1, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+
+    def loss_p(xf, sc, sh):
+        return jnp.sum(conv3_flat(xf, k, b, g, prologue=(sc, sh),
+                                  prologue_act="elu") ** 2)
+
+    gs = jax.grad(loss_p, argnums=(1, 2))(x, scale, shift)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in gs)
+
+
+def test_vnetds_flat_trains(monkeypatch):
+    """One optimization step through the flat path decreases the loss
+    (gradients flow through kernels via the custom VJPs)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    from multimodal_3d_image_segmentation_tpu import losses
+    import optax
+
+    monkeypatch.setattr(
+        architectures.VNetDS, "_use_flat",
+        lambda self, x_cf: self.use_pallas and x_cf.shape[0] == 1)
+
+    m = models.VNetDS(2, 3, 4, [1, 1], right_leg_indexes=[0, 1],
+                      use_pallas=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 12, 8)), jnp.float32)
+    y = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 3, (1, 12, 12, 8))), 3).transpose(
+        (0, 4, 1, 2, 3))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        return losses.pcc_loss(m.apply({"params": p}, x), y)
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(l0))
+    updates, opt = tx.update(grads, opt, params)
+    params2 = optax.apply_updates(params, updates)
+    l1 = loss_fn(params2)
+    assert float(l1) < float(l0)
