@@ -414,3 +414,57 @@ def test_pipeline_with_device_augmentation(tmp_path):
     run(cfg2)
     log = open(os.path.join(out, "stdout.txt")).read()
     assert log.count("train_loss:") == 2
+
+
+def test_training_with_orbax_backend(tmp_path):
+    """[train] checkpoint_backend = 'orbax' flows through run()'s training
+    and resumes from the sharded checkpoint format."""
+    from multimodal_3d_image_segmentation_tpu import losses, models
+    from multimodal_3d_image_segmentation_tpu.runtime import build_optimizer
+    from multimodal_3d_image_segmentation_tpu.runtime.train_test import (
+        training)
+    from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+        make_checkpointer)
+
+    class TinyData:
+        batch_size = 1
+
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.x = rng.standard_normal((2, 2, 8, 8, 8)).astype(np.float32)
+            self.y = rng.integers(0, 3, (2, 1, 8, 8, 8)).astype(np.int32)
+
+        def get_train_image_size(self):
+            return (8, 8, 8)
+
+        def get_train_num_batches(self):
+            return 2
+
+        def get_valid_num_batches(self):
+            return 1
+
+        def get_train_flow(self, shuffle=False):
+            return [(self.x[i:i + 1], self.y[i:i + 1]) for i in range(2)]
+
+        def get_valid_flow(self):
+            return [(self.x[:1], self.y[:1])]
+
+    model = models.HNOSegXS(2, 3, 4, [1], (3, 3, 3))
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    out = str(tmp_path / "run")
+    params = training(model=model, input_data=TinyData(), output_dir=out,
+                      loss_fn=losses.pcc_loss, tx=tx, num_epochs=2,
+                      checkpoint_epoch=1, is_print=False,
+                      checkpoint_backend="orbax")
+    assert params is not None
+    # the state checkpoint is an orbax directory; weights stay msgpack
+    assert os.path.isdir(os.path.join(out, "model",
+                                      "checkpoint.msgpack.orbax"))
+    assert os.path.isfile(os.path.join(out, "model", "model.msgpack"))
+
+    # resume path goes through the orbax loader
+    params2 = training(model=model, input_data=TinyData(), output_dir=out,
+                       loss_fn=losses.pcc_loss, tx=tx, num_epochs=4,
+                       checkpoint_epoch=1, is_print=False,
+                       checkpoint_backend="orbax")
+    assert params2 is not None
