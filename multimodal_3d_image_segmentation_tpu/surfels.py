@@ -156,10 +156,64 @@ def _cell_codes(mask):
     return code
 
 
+# --- 2D (marching squares): boundary LENGTH instead of surface area -----
+
+_CORNERS_2D = [np.array(c) for c in product((0, 1), repeat=2)]
+# ring order around the 2x2 cell (consecutive entries are edge neighbors)
+_RING_2D = [0, 1, 3, 2]   # (0,0) -> (0,1) -> (1,1) -> (1,0)
+
+
+def _code_length_2d(code, spacing):
+    """Boundary length of one 2x2 occupancy code under (h, w) spacing:
+    marching-squares segments with vertices at cut-edge midpoints; on the
+    ambiguous diagonal codes the inside corners are separated (the same
+    convention as the 3D faces)."""
+    inside = [(code >> (3 - c)) & 1 == 1 for c in range(4)]
+    vals = [inside[c] for c in _RING_2D]
+    if all(vals) or not any(vals):
+        return 0.0
+    n = 4
+    length = 0.0
+    starts = [i for i in range(n) if vals[i] and not vals[i - 1]]
+    for s in starts:
+        e = s
+        while vals[(e + 1) % n]:
+            e += 1
+        a1, b1 = _RING_2D[s % n], _RING_2D[(s - 1) % n]
+        a2, b2 = _RING_2D[e % n], _RING_2D[(e + 1) % n]
+        m1 = (_CORNERS_2D[a1] + _CORNERS_2D[b1]) / 2.0
+        m2 = (_CORNERS_2D[a2] + _CORNERS_2D[b2]) / 2.0
+        length += float(np.linalg.norm((m1 - m2) * spacing))
+    return length
+
+
+@lru_cache(maxsize=32)
+def neighbour_code_to_surface_length(spacing_mm):
+    """16-entry table: 2x2 occupancy code -> boundary length (mm)."""
+    spacing = np.asarray(spacing_mm, np.float64)
+    return np.array([_code_length_2d(code, spacing) for code in range(16)])
+
+
+def _cell_codes_2d(mask):
+    m = np.pad(mask.astype(np.uint8), 1)
+    out_shape = tuple(s + 1 for s in mask.shape)
+    code = np.zeros(out_shape, np.int16)
+    for c, corner in enumerate(_CORNERS_2D):
+        i, j = corner
+        view = m[i:i + out_shape[0], j:j + out_shape[1]]
+        code += view.astype(np.int16) << (3 - c)
+    return code
+
+
 def surfel_map(mask, spacing_mm):
-    """Per-cell surfel areas (mm^2) on the corner grid; zero off-surface."""
-    table = neighbour_code_to_surface_area(tuple(float(s)
-                                                 for s in spacing_mm))
+    """Per-cell surfel weights on the corner grid; zero off-surface.
+    3D masks: marching-cubes areas (mm^2); 2D: marching-squares boundary
+    lengths (mm)."""
+    spacing = tuple(float(s) for s in spacing_mm)
+    if mask.ndim == 2:
+        return neighbour_code_to_surface_length(spacing)[
+            _cell_codes_2d(mask)]
+    table = neighbour_code_to_surface_area(spacing)
     return table[_cell_codes(mask)]
 
 

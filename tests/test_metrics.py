@@ -221,3 +221,52 @@ def test_subvoxel_matches_surface_distance_package():
     np.testing.assert_allclose(
         compute_robust_hausdorff(ours, 95),
         sd_pkg.compute_robust_hausdorff(theirs, 95), rtol=1e-9)
+
+
+def test_surfel_2d_closed_forms_and_rotation():
+    """2D marching-squares boundary lengths: closed forms, 4-fold rotation
+    equivariance, single-pixel total, and 2D distances through the metric
+    entry points (exercised by the 2D pipeline/statistics path)."""
+    import itertools
+    from multimodal_3d_image_segmentation_tpu.surfels import (
+        neighbour_code_to_surface_length, surfel_map)
+    from multimodal_3d_image_segmentation_tpu.metrics import (
+        compute_surface_dice_at_tolerance, compute_surface_distances,
+        hd95_binary, surface_dice_binary)
+
+    t = neighbour_code_to_surface_length((1.0, 1.0))
+    assert t[0] == 0.0 and t[15] == 0.0
+    for c in range(4):  # one corner in or out: half-diagonal segment
+        assert t[1 << c] == pytest.approx(np.sqrt(2) / 2)
+        assert t[15 ^ (1 << c)] == pytest.approx(np.sqrt(2) / 2)
+    assert t[0b1100] == pytest.approx(1.0)  # half cell: straight unit cut
+    ta = neighbour_code_to_surface_length((2.0, 5.0))
+    assert ta[0b1100] == pytest.approx(5.0)  # cut normal to h: w-spacing
+    assert ta[0b1010] == pytest.approx(2.0)  # cut normal to w: h-spacing
+
+    corners = [np.array(c) for c in itertools.product((0, 1), repeat=2)]
+
+    def rot(code):
+        out = 0
+        for c in range(4):
+            if (code >> (3 - c)) & 1:
+                p = corners[c] - 0.5
+                q = np.array([-p[1], p[0]]) + 0.5
+                out |= 1 << (3 - (int(q[0]) * 2 + int(q[1])))
+        return out
+
+    for code in range(16):
+        assert t[code] == pytest.approx(t[rot(code)], abs=1e-12)
+
+    m = np.zeros((9, 9), bool)
+    m[4, 4] = True
+    assert surfel_map(m, (1, 1)).sum() == pytest.approx(2 * np.sqrt(2))
+
+    a = np.zeros((16, 16), bool)
+    a[4:10, 4:12] = True
+    b = np.roll(a, 1, axis=0)
+    d = compute_surface_distances(a, b, (1.0, 1.0))
+    assert d["distances_gt_to_pred"].max() == pytest.approx(1.0)
+    assert compute_surface_dice_at_tolerance(d, 1.0) == pytest.approx(1.0)
+    assert surface_dice_binary(a, a, (1.0, 1.0)) == 1.0
+    assert np.isfinite(hd95_binary(a, b, (1.0, 1.0)))

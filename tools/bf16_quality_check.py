@@ -65,11 +65,33 @@ def run(compute_dtype, steps=150):
 
 
 def main():
+    import argparse
+    import json
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", action="store_true",
+                    help="write BENCH_BF16.json at the repo root")
+    args = ap.parse_args()
+    results = {}
     for dt in ["float32", "bfloat16"]:
         hist, dices = run(dt)
+        results[dt] = {"loss_history": [round(float(v), 5) for v in hist],
+                       "per_class_dice": [round(float(d), 4)
+                                          for d in dices]}
         print(f"{dt:9s} loss: " + " ".join(f"{v:.4f}" for v in hist)
               + f"  | per-class Dice: "
               + " ".join(f"{d:.3f}" for d in dices), flush=True)
+    if args.artifact:
+        import jax as _jax
+        f32 = results["float32"]["per_class_dice"]
+        b16 = results["bfloat16"]["per_class_dice"]
+        results["dice_delta_bf16_minus_fp32"] = [
+            round(b - a, 4) for a, b in zip(f32, b16)]
+        results["backend"] = _jax.default_backend()
+        results["protocol"] = ("identical synthetic blob data/steps/seed; "
+                               "compute_dtype is the only difference")
+        with open("/root/repo/BENCH_BF16.json", "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote BENCH_BF16.json")
 
 
 if __name__ == "__main__":
