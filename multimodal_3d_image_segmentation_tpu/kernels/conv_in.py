@@ -123,7 +123,8 @@ def _build_w_select(w: int, w2: int) -> np.ndarray:
 
 
 def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
-                c, dt, gm, d, h, w, h2, w2, f, apply_selu=True):
+                c, dt, gm, d, h, w, h2, w2, f, apply_selu=True,
+                sel_precision="highest"):
     """Grid step i computes output depth rows [i*dt, (i+1)*dt) directly
     from the raw channel-first input: no XLA-side pad/reshape/transpose.
 
@@ -166,10 +167,21 @@ def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
         # contracts only the lane dim, so it commutes with the D/H row
         # selections; 2 large dots beat 32 small per-phase ones).
         # Everything downstream works on w2 lanes.
-        comp = jax.lax.dot(
-            mainf, m_ref[kw].astype(mainf.dtype),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=f32)  # (c*2dt*h, w2)
+        if sel_precision == "bf16x2":
+            # The selection matrix is 0/1 — exact in bf16; only the data
+            # side splits (hi+lo carries 16 of fp32's 24 mantissa bits,
+            # ~1e-5 relative — the serving precision class). 2 MXU passes
+            # instead of HIGHEST's 6.
+            mhi = mainf.astype(jnp.bfloat16)
+            mlo = (mainf.astype(f32) - mhi.astype(f32)).astype(jnp.bfloat16)
+            selb = m_ref[kw].astype(jnp.bfloat16)
+            comp = (jax.lax.dot(mhi, selb, preferred_element_type=f32)
+                    + jax.lax.dot(mlo, selb, preferred_element_type=f32))
+        else:
+            comp = jax.lax.dot(
+                mainf, m_ref[kw].astype(mainf.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32)  # (c*2dt*h, w2)
         cr = comp.reshape(c, dt, 2, hh, 2, w2)
         even_d = cr[:, :, 0] * mask_e              # (c, dt, hh, 2, w2)
         halo = prev_ref[kw][:, None]               # (c, 1, hh, 2, w2)
@@ -222,9 +234,10 @@ def _pick_dt(c, d, h, w, itemsize):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "dt", "channels_middle",
-                                    "apply_selu"))
+                                    "apply_selu", "sel_precision"))
 def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
-                      channels_middle=False, apply_selu=True):
+                      channels_middle=False, apply_selu=True,
+                      sel_precision="highest"):
     """conv_in straight off the raw channel-first HBM tensor: the ~3 ms of
     XLA-side pad + relayout passes of ``_conv_in_impl`` (docs/DESIGN.md
     section 3) do not exist on this path."""
@@ -243,7 +256,8 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
     msel = jnp.asarray(_build_w_select(w, w2))
 
     kern = functools.partial(_raw_kernel, c=c, dt=dt, gm=gm, d=d, h=h,
-                             w=w, h2=h2, w2=w2, f=f, apply_selu=apply_selu)
+                             w=w, h2=h2, w2=w2, f=f, apply_selu=apply_selu,
+                             sel_precision=sel_precision)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((grid * dt, h2, f, w2), x_cf.dtype),
@@ -281,13 +295,14 @@ def _reference_xla(x_cf, kernel, bias, apply_selu=True):
     return jax.nn.selu(y) if apply_selu else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle,
-                 apply_selu):
+                 apply_selu, sel_precision):
     if raw_path_supported(x_cf.shape):
         return _conv_in_raw_impl(x_cf, kernel, bias, interpret=interpret,
                                  channels_middle=channels_middle,
-                                 apply_selu=apply_selu)
+                                 apply_selu=apply_selu,
+                                 sel_precision=sel_precision)
     d2 = x_cf.shape[2] // 2 + 1
     dt = min(11, d2)
     out = _conv_in_impl(x_cf, kernel, bias, dt=dt, ht=4,
@@ -298,13 +313,14 @@ def _conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle,
 
 
 def _conv_in_fwd(x_cf, kernel, bias, interpret, channels_middle,
-                 apply_selu):
+                 apply_selu, sel_precision):
     return (_conv_in_vjp(x_cf, kernel, bias, interpret, channels_middle,
-                         apply_selu),
+                         apply_selu, sel_precision),
             (x_cf, kernel, bias))
 
 
-def _conv_in_bwd(interpret, channels_middle, apply_selu, res, g):
+def _conv_in_bwd(interpret, channels_middle, apply_selu, sel_precision,
+                 res, g):
     # Gradients via the (numerically matching) XLA formulation; the Pallas
     # kernel is only the forward fast path.
     x_cf, kernel, bias = res
@@ -325,6 +341,11 @@ def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
     """Fused k=2/s=2/pad=1 conv + bias (+ SELU unless ``apply_selu`` is
     False — V-Net-DS applies GroupNorm+ELU outside instead).
 
+    The W-selection MXU precision follows the framework-wide fp32
+    transform-precision knob: 'highest' -> exact (bf16x6) selection,
+    'high' (the serving config) -> bf16x2 (the 0/1 selection matrix is
+    exact in bf16; the data side splits hi/lo, ~1e-5 relative).
+
     Args:
         x_cf: channel-first input (1, C, D, H, W).
         kernel: (2, 2, 2, C, F) conv kernel (flax DHWIO layout).
@@ -341,5 +362,10 @@ def conv_in_s2d(x_cf: jax.Array, kernel: jax.Array, bias: jax.Array,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from ..ops import spectral
+    sel_precision = ("bf16x2"
+                     if spectral.PRECISION == jax.lax.Precision.HIGH
+                     else "highest")
     return _conv_in_vjp(x_cf, kernel, bias, bool(interpret),
-                        bool(channels_middle), bool(apply_selu))
+                        bool(channels_middle), bool(apply_selu),
+                        sel_precision)
