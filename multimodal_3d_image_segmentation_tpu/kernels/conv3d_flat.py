@@ -98,15 +98,19 @@ def _dot_f32(a, b, precision):
                            precision=lax.Precision.HIGHEST)
 
 
-def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
+def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
                   a_ref, bpend_ref, xcol_ref, *,
                   ci, co, wp, npl, dp, precision, prologue_act, has_pro,
-                  dilated_depth):
+                  dilated_depth, has_x2):
     i = pl.program_id(0)
     f32 = jnp.float32
 
     # --- input sanitize (+ fused prologue of the previous layer) ---
-    xplane = x_ref[0].astype(f32)                  # (ci, Npl)
+    xplane = x_ref[0].astype(f32)                  # (c1, Npl)
+    if has_x2:
+        # virtual channel concat: the second tensor's plane is stacked on
+        # the sublane axis in VMEM — the HBM concat never exists
+        xplane = jnp.concatenate([xplane, x2_ref[0].astype(f32)], axis=0)
     if has_pro:
         scale = pro_ref[0][:, :1]                  # (ci, 1)
         shift = pro_ref[1][:, :1]
@@ -144,9 +148,10 @@ def _conv3_kernel(x_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
 @functools.partial(
     jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret",
                               "dilated_depth"))
-def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
+def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
                      prologue_act, interpret, dilated_depth=None):
-    ci = x_flat.shape[1]
+    has_x2 = x2 is not None
+    ci = x_flat.shape[1] + (x2.shape[1] if has_x2 else 0)
     co = w72.shape[0] // 3
     has_pro = prologue is not None
     # bias as (co, 128) lane-broadcast row (scalar operands need 2D VMEM)
@@ -161,9 +166,19 @@ def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
         n_src = x_flat.shape[0]
         x_index = lambda i: (jnp.clip((i - 1) // 2 + 1, 0, n_src - 1),
                              0, 0)
-    operands = [x_flat, w72, bias2, mask]
+    if has_x2:
+        operands = [x_flat, x2, w72, bias2, mask]
+        x2_spec = pl.BlockSpec((1, x2.shape[1], g.npl), x_index,
+                               memory_space=pltpu.VMEM)
+    else:
+        operands = [x_flat, jnp.zeros((1, 8, 128), x_flat.dtype), w72,
+                    bias2, mask]
+        x2_spec = pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, ci, g.npl), x_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, x_flat.shape[1], g.npl), x_index,
+                     memory_space=pltpu.VMEM),
+        x2_spec,
         pl.BlockSpec((3 * co, 9 * ci), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((co, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -183,7 +198,7 @@ def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
     kern = functools.partial(
         _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
         precision=precision, prologue_act=prologue_act, has_pro=has_pro,
-        dilated_depth=dilated_depth)
+        dilated_depth=dilated_depth, has_x2=has_x2)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype),
@@ -203,9 +218,12 @@ def _conv3_flat_impl(x_flat, w72, bias, mask, prologue, g, precision,
     return out
 
 
-def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act):
+def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
+                         x2=None):
     """XLA formulation on the unflattened view — numerics oracle and the
     backward pass of the custom VJP."""
+    if x2 is not None:
+        x_flat = jnp.concatenate([x_flat, x2], axis=1)
     x4 = from_flat(x_flat, g)                       # (C, D, H, W)
     if prologue is not None:
         scale, shift = prologue
@@ -238,44 +256,56 @@ def _dilate_d_flat(x_flat, g_out, d_src):
     return jnp.pad(inter, ((1, 1), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _conv3_vjp(x_flat, kernel, bias, prologue, g, precision, prologue_act,
-               interpret, dilated_depth):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
+               prologue_act, interpret, dilated_depth):
     mask = jnp.asarray(g.interior_mask())
-    return _conv3_flat_impl(x_flat, _pack_w72(kernel), bias, mask, prologue,
-                            g, precision, prologue_act, interpret,
+    return _conv3_flat_impl(x_flat, x2, _pack_w72(kernel), bias, mask,
+                            prologue, g, precision, prologue_act, interpret,
                             dilated_depth=dilated_depth)
 
 
-def _conv3_fwd(x_flat, kernel, bias, prologue, g, precision, prologue_act,
-               interpret, dilated_depth):
-    out = _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
+def _conv3_fwd(x_flat, x2, kernel, bias, prologue, g, precision,
+               prologue_act, interpret, dilated_depth):
+    out = _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
                      prologue_act, interpret, dilated_depth)
-    return out, (x_flat, kernel, bias, prologue)
+    return out, (x_flat, x2, kernel, bias, prologue)
 
 
 def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth, res,
                grad):
-    x_flat, kernel, bias, prologue = res
+    x_flat, x2, kernel, bias, prologue = res
 
-    def f(xf, k, b, pro):
+    def f(xf, xs, k, b, pro):
         if dilated_depth is not None:
             xf = _dilate_d_flat(xf, g, dilated_depth)
-        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act)
+            if xs is not None:
+                xs = _dilate_d_flat(xs, g, dilated_depth)
+        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act, x2=xs)
 
-    if prologue is None:
-        _, vjp = jax.vjp(lambda xf, k, b: f(xf, k, b, None),
+    if prologue is None and x2 is None:
+        _, vjp = jax.vjp(lambda xf, k, b: f(xf, None, k, b, None),
                          x_flat, kernel, bias)
         gx, gk, gb = vjp(grad)
-        return gx, gk, gb, None
-    _, vjp = jax.vjp(f, x_flat, kernel, bias, prologue)
+        return gx, None, gk, gb, None
+    if prologue is None:
+        _, vjp = jax.vjp(lambda xf, xs, k, b: f(xf, xs, k, b, None),
+                         x_flat, x2, kernel, bias)
+        gx, gx2, gk, gb = vjp(grad)
+        return gx, gx2, gk, gb, None
+    if x2 is None:
+        _, vjp = jax.vjp(lambda xf, k, b, pro: f(xf, None, k, b, pro),
+                         x_flat, kernel, bias, prologue)
+        gx, gk, gb, gp = vjp(grad)
+        return gx, None, gk, gb, gp
+    _, vjp = jax.vjp(f, x_flat, x2, kernel, bias, prologue)
     return vjp(grad)
 
 
 _conv3_vjp.defvjp(_conv3_fwd, _conv3_bwd)
 
 
-def conv3_flat(x_flat: jax.Array, kernel: jax.Array, bias: jax.Array,
+def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
                g: FlatGeom, prologue: Optional[Tuple[jax.Array, jax.Array]]
                = None, prologue_act: Optional[str] = None,
                precision: str = "bf16x3",
@@ -297,9 +327,13 @@ def conv3_flat(x_flat: jax.Array, kernel: jax.Array, bias: jax.Array,
         (Dp, co, Npl) with clean zero borders (bias applied inside the
         valid interior only). Differentiable (backward via XLA).
     """
+    if isinstance(x_flat, (tuple, list)):
+        x_flat, x2 = x_flat  # virtual channel concat (ci = c1 + c2)
+    else:
+        x2 = None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _conv3_vjp(x_flat, kernel, bias, prologue, g, precision,
+    return _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
                       prologue_act, bool(interpret), dilated_depth)
 
 

@@ -425,17 +425,26 @@ class _FlatConvNormAct(nn.Module):
         from ..kernels.conv3d_flat import conv3_flat
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
-        cin = x.shape[1]
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        cin = sum(t.shape[1] for t in parts)
         kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
                                    snn, name="conv")()
         if self.kernel_size == 1:
             mat = kernel.reshape(cin, self.features)
-            y = jnp.einsum("dcn,co->don", x, mat.astype(x.dtype),
-                           precision=_prec(x.dtype))
+            y = None
+            off = 0
+            for t in parts:  # virtual concat: per-part einsums, summed
+                c = t.shape[1]
+                part = jnp.einsum("dcn,co->don", t,
+                                  mat[off:off + c].astype(t.dtype),
+                                  precision=_prec(t.dtype))
+                y = part if y is None else y + part
+                off += c
             y = y + bias.astype(y.dtype)[None, :, None]
         else:
-            y = conv3_flat(x, kernel.astype(x.dtype), bias.astype(x.dtype),
-                           self.g)
+            y = conv3_flat(x if len(parts) > 1 else parts[0],
+                           kernel.astype(parts[0].dtype),
+                           bias.astype(parts[0].dtype), self.g)
         g_out = self.g
         if self.g_half is not None:
             gh = self.g_half
@@ -703,9 +712,12 @@ class VNetDS(nn.Module):
             if (g.d, g.h, g.w) != (ge.d, ge.h, ge.w):
                 x = _flat_crop(x, g, ge)
                 g = ge
-            x = jnp.concatenate([x, encode_tensors[i]], axis=1)
-            tmp = x if self.use_residual else None
-            for j in range(self.num_blocks[i]):
+            # virtual concat: the first conv and the residual 1x1 read
+            # (up, skip) directly — the concatenated tensor never exists
+            pair = (x, encode_tensors[i])
+            tmp = pair if self.use_residual else None
+            x = conv(filters, f"decode_{i}_conv_0", g)(pair)
+            for j in range(1, self.num_blocks[i]):
                 x = conv(filters, f"decode_{i}_conv_{j}", g)(x)
             if tmp is not None:
                 x = x + conv(filters, f"decode_{i}_residual", g,
