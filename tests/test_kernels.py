@@ -282,3 +282,26 @@ def test_vnetds_flat_trains(monkeypatch):
     params2 = optax.apply_updates(params, updates)
     l1 = loss_fn(params2)
     assert float(l1) < float(l0)
+
+
+def test_vnetds_flat_bf16(monkeypatch):
+    """Flat path with bf16 activations: runs, returns finite fp32-in
+    dtype output, and stays close to the fp32 flat path."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.VNetDS, "_use_flat",
+        lambda self, x_cf: self.use_pallas and x_cf.shape[0] == 1)
+
+    kw = dict(in_channels=2, out_channels=3, base_num_filters=4,
+              num_blocks=[1, 1], right_leg_indexes=[0, 1])
+    m32 = models.VNetDS(**kw, use_pallas=True)
+    m16 = models.VNetDS(**kw, use_pallas=True, compute_dtype="bfloat16")
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(
+        (1, 2, 12, 12, 8)).astype(np.float32))
+    p = m32.init(jax.random.PRNGKey(0), x)["params"]
+    y32 = np.asarray(m32.apply({"params": p}, x))
+    y16 = np.asarray(m16.apply({"params": p}, x))
+    assert y16.dtype == np.float32  # cast back to the input dtype
+    assert np.all(np.isfinite(y16))
+    np.testing.assert_allclose(y16, y32, atol=0.05)  # softmax outputs

@@ -31,6 +31,10 @@ CONFIGS = {
 
 
 def main():
+    # the shipped configs run serving precision ('high') for the fp32
+    # transform matmuls — measure what users get
+    from multimodal_3d_image_segmentation_tpu.ops import spectral
+    spectral.set_fp32_transform_precision("high")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
     for name, model in CONFIGS.items():
