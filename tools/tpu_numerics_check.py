@@ -76,6 +76,12 @@ def main():
     check("VNetDS",
           models.VNetDS(4, 4, 8, [1, 2, 2], right_leg_indexes=[0, 1, 2]),
           (1, 4, 64, 64, 40))
+    check("VNetDS flat path (use_pallas)",
+          models.VNetDS(4, 4, 8, [1, 2, 2], right_leg_indexes=[0, 1, 2],
+                        use_pallas=True),
+          (1, 4, 64, 64, 40),
+          cpu_model=models.VNetDS(4, 4, 8, [1, 2, 2],
+                                  right_leg_indexes=[0, 1, 2]))
 
 
 if __name__ == "__main__":
