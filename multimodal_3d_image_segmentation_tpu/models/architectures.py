@@ -489,14 +489,30 @@ class _FlatConvTransposeNormAct(nn.Module):
         kernel, bias = _ConvTParams(self.features, cin, w_init, snn,
                                     name="conv")()
 
-        # lane-interleave on the HALF-depth volume (half the einsum), then
-        # the kernel's dilated-depth mode supplies the interleaved-zero
-        # planes from the index map + parity flag (nothing materialized)
+        # lane-interleave on the HALF-depth volume (half the einsum). The
+        # depth doubling then runs as ONE stride-1 conv on the HALF-depth
+        # grid with DOUBLED output channels: even output planes o=2j only
+        # receive the center depth tap on x[j]; odd planes o=2j+1 the two
+        # outer taps on x[j], x[j+1] — packed as channel groups of a
+        # (3,3,3,ci,2co) kernel with structural zeros. Half the grid
+        # steps and ~10x less padded MXU work than convolving the
+        # explicit zero-dilated volume.
         g, g2 = self.g, self.g2
         up = _lane_select(x, g, g2, "interleave2")   # (Dp_src, C, Npl2)
         flipped = jnp.flip(kernel, axis=(0, 1, 2))
-        y = conv3_flat(up, flipped.astype(x.dtype), bias.astype(x.dtype),
-                       g2, dilated_depth=g.d)
+        co = self.features
+        k2x = jnp.zeros((3, 3, 3, cin, 2 * co), flipped.dtype)
+        k2x = k2x.at[1, :, :, :, :co].set(flipped[1])
+        k2x = k2x.at[1, :, :, :, co:].set(flipped[0])
+        k2x = k2x.at[2, :, :, :, co:].set(flipped[2])
+        from ..ops.flatvol import flat_geom
+        g_mid = flat_geom(g.d, g2.h, g2.w)
+        bias2 = jnp.concatenate([bias, bias])
+        y2 = conv3_flat(up, k2x.astype(x.dtype), bias2.astype(x.dtype),
+                        g_mid)                        # (g.d+2, 2co, Npl2)
+        planes = y2[1:g.d + 1].reshape(g.d, 2, co, g2.npl)
+        y = jnp.pad(planes.reshape(2 * g.d, co, g2.npl),
+                    ((1, 1), (0, 0), (0, 0)))
         if not snn:
             scale, gbias = _GNParams(self.features, name="norm")()
             return _flat_gn_act(y, g2, scale, gbias, self.activation)
