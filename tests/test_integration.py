@@ -468,3 +468,112 @@ def test_training_with_orbax_backend(tmp_path):
                        checkpoint_epoch=1, is_print=False,
                        checkpoint_backend="orbax")
     assert params2 is not None
+
+
+def test_cli_entrypoints_as_subprocesses(tmp_path):
+    """The real CLI entries (`python -m ...runtime.run config.ini` and the
+    partitioning CLI) work from a clean subprocess — the exact user
+    calling convention (reference `python experiments/run.py config`)."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    from multimodal_3d_image_segmentation_tpu.data.nifti import write_image
+
+    # tiny synthetic dataset, BraTS'23 folder layout
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    lists = {"m0": [], "seg": []}
+    for i in range(3):
+        pdir = data / f"case{i:03d}"
+        pdir.mkdir(parents=True)
+        seg = (rng.random((10, 12, 8)) > 0.6).astype(np.uint8)
+        m0 = seg * 3.0 + rng.standard_normal((10, 12, 8)).astype(np.float32)
+        for name, arr in [("m0", m0.astype(np.float32)), ("seg", seg)]:
+            fn = str(pdir / f"case{i:03d}-{name}.nii.gz")
+            write_image(arr, fn)
+            lists[name].append(fn)
+    for name in lists:
+        for split, sl in [("train", slice(0, 2)), ("valid", slice(2, 3)),
+                          ("test", slice(2, 3))]:
+            (tmp_path / f"{name}_{split}.txt").write_text(
+                "".join(p + "\n" for p in lists[name][sl]))
+
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(textwrap.dedent(f"""
+        [main]
+        output_dir = '{tmp_path}/exp'
+        is_train = True
+        is_test = True
+        is_statistics = False
+
+        [input_lists]
+        data_dir = ''
+        data_lists_train_paths = ['{tmp_path}/m0_train.txt', '{tmp_path}/seg_train.txt']
+        data_lists_valid_paths = ['{tmp_path}/m0_valid.txt', '{tmp_path}/seg_valid.txt']
+        data_lists_test_paths = ['{tmp_path}/m0_test.txt', '{tmp_path}/seg_test.txt']
+
+        [input_args]
+        idx_x_modalities = [0]
+        idx_y_modalities = [1]
+        batch_size = 1
+        num_workers = 0
+
+        [model]
+        model_name = 'HNOSegXS'
+        out_channels = 2
+        filters = 4
+        num_transform_blocks = [1]
+        num_modes = (2, 3, 2)
+
+        [optimizer]
+        optimizer_name = 'Adamax'
+        lr = 5e-3
+
+        [loss]
+        loss_name = 'PCCLoss'
+
+        [train]
+        num_epochs = 1
+        is_print = False
+
+        [test]
+        output_folder = 'test'
+    """))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [_sys.executable, "-m",
+         "multimodal_3d_image_segmentation_tpu.runtime.run", str(cfg)],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert os.path.isfile(str(tmp_path / "exp/model/model.msgpack"))
+    assert os.path.isfile(
+        str(tmp_path / "exp/test/images/case002_pred.nii.gz"))
+
+    # partitioning CLI as a subprocess
+    pcfg = tmp_path / "part.ini"
+    pcfg.write_text(textwrap.dedent(f"""
+        [partitioning]
+        base_paths = ['{data}']
+        train_fraction = 0.6
+        valid_fraction = 0.2
+        test_fraction = 0.2
+        modalities = ['m0', 'seg']
+        ext = 'nii.gz'
+        remove_str = ''
+        seed = 1
+
+        [io]
+        output_dir = '{tmp_path}/splits'
+    """))
+    proc2 = subprocess.run(
+        [_sys.executable, "-m",
+         "multimodal_3d_image_segmentation_tpu.data.partitioning",
+         str(pcfg)],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    assert os.path.isfile(str(tmp_path / "splits/m0_train-0.6.txt"))
