@@ -405,7 +405,10 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
     (reference ``experiments/train_test.py:332-426``). ``save_npz``
     additionally writes a bulk ``y_true_pred.npz`` (TF-tree parity,
     ``tensorflow/experiments/train_test.py:292``)."""
-    assert input_data.batch_size == 1
+    assert input_data.batch_size == 1, (
+        "testing() follows the reference's per-volume protocol "
+        "(experiments/train_test.py:384-414): set [input_args] "
+        "batch_size = 1 for test/statistics runs")
     os.makedirs(output_dir, exist_ok=True)
     npz_true, npz_pred = [], []
 
