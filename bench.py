@@ -53,7 +53,19 @@ def _measure(fn, x):
     return time.perf_counter() - t0
 
 
-def main():
+def main(_retries=2):
+    """One transparent retry on transient relay errors (the remote-compile
+    tunnel occasionally drops a request; the driver runs this unattended)."""
+    try:
+        _main()
+    except Exception:
+        if _retries <= 0:
+            raise
+        time.sleep(20)
+        main(_retries - 1)
+
+
+def _main():
     from multimodal_3d_image_segmentation_tpu import models
     from multimodal_3d_image_segmentation_tpu.ops import spectral
 
