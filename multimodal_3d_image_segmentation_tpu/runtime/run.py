@@ -136,6 +136,14 @@ def run(config_args):
         par = config_args["parallel"]
         mesh = make_mesh(n_data=par.get("n_data"),
                          n_spatial=par.get("n_spatial", 1))
+        # The Pallas kernel paths have no SPMD partitioning rules; under a
+        # mesh the models run their (sharding-transparent) XLA module
+        # paths. Drop the flag loudly rather than failing in the
+        # partitioner.
+        if config_args.get("model", {}).pop("use_pallas", None):
+            print("Warning: [model] use_pallas is disabled under "
+                  "[parallel] meshes (Pallas kernels are single-device; "
+                  "the XLA module path shards transparently).")
 
     # Train or read model
     model = None

@@ -392,7 +392,11 @@ n_spatial = 2
 """
     cfg = _config(tmp_path, out, train, valid, test, num_epochs=1,
                   is_statistics=False, extra=extra)
+    # use_pallas must be dropped (with a warning) under a mesh — the
+    # Pallas kernels are single-device
+    cfg["model"]["use_pallas"] = True
     run(cfg)
+    assert "use_pallas" not in cfg["model"]
     pred = read_image(os.path.join(out, "test/images/case3_pred.nii.gz"))
     assert pred.array.shape == (16, 16, 12)
 
