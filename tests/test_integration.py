@@ -550,7 +550,8 @@ def test_cli_entrypoints_as_subprocesses(tmp_path):
     proc = subprocess.run(
         [_sys.executable, "-m",
          "multimodal_3d_image_segmentation_tpu.runtime.run", str(cfg)],
-        capture_output=True, text=True, timeout=600, env=env,
+        # generous: this 1-core host serializes the whole suite
+        capture_output=True, text=True, timeout=1800, env=env,
         cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert os.path.isfile(str(tmp_path / "exp/model/model.msgpack"))
@@ -577,7 +578,7 @@ def test_cli_entrypoints_as_subprocesses(tmp_path):
         [_sys.executable, "-m",
          "multimodal_3d_image_segmentation_tpu.data.partitioning",
          str(pcfg)],
-        capture_output=True, text=True, timeout=300, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert proc2.returncode == 0, proc2.stdout + proc2.stderr
     assert os.path.isfile(str(tmp_path / "splits/m0_train-0.6.txt"))
