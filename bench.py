@@ -55,9 +55,13 @@ def _measure(fn, x):
 
 def main(_retries=2):
     """One transparent retry on transient relay errors (the remote-compile
-    tunnel occasionally drops a request; the driver runs this unattended)."""
+    tunnel occasionally drops a request; the driver runs this unattended).
+    Deterministic failures (bugs, bad configs) re-raise immediately."""
     try:
         _main()
+    except (ValueError, TypeError, AssertionError, KeyError,
+            AttributeError, ImportError):
+        raise
     except Exception:
         if _retries <= 0:
             raise

@@ -122,10 +122,26 @@ def zscore_masked(data: np.ndarray, mask_val=None) -> Optional[np.ndarray]:
 
 def _gz_isize(path) -> int:
     """Uncompressed size from the gzip ISIZE trailer (mod 2^32; callers
-    fall back to Python on multi-member files where this undercounts)."""
+    fall back to Python on multi-member files where this undercounts).
+
+    Validates the 0x1f 0x8b magic and caps the implied expansion ratio so
+    a corrupted/truncated file whose last 4 bytes decode to a huge value
+    cannot drive a multi-GB allocation; returns 0 (= fallback) instead.
+    """
     with open(path, "rb") as f:
+        magic = f.read(2)
+        if magic != b"\x1f\x8b":
+            return 0
+        csize = f.seek(0, os.SEEK_END)
+        if csize < 18:  # 10-byte header + 8-byte trailer minimum
+            return 0
         f.seek(-4, os.SEEK_END)
-        return int.from_bytes(f.read(4), "little")
+        isize = int.from_bytes(f.read(4), "little")
+    # NIfTI volumes compress at most ~100x in practice (all-zero planes);
+    # beyond 1000x the trailer is almost certainly garbage.
+    if isize > max(csize, 4096) * 1000:
+        return 0
+    return isize
 
 
 def _u8ptr(a: np.ndarray):

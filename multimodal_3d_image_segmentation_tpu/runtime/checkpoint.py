@@ -121,6 +121,13 @@ def save_params(path, params) -> None:
 
 
 def load_params(path, params_template):
+    """Load a weights-only export. Dispatches on what exists on disk: a
+    plain file is the msgpack format; a ``<path>.orbax`` directory is the
+    sharded Orbax export (written when training ran with
+    ``checkpoint_backend='orbax'``)."""
+    if not os.path.exists(path) and os.path.isdir(
+            os.path.abspath(path) + ".orbax"):
+        return OrbaxCheckpointer().load_params(path, params_template)
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(params_template, restored)

@@ -199,11 +199,13 @@ def training(model, input_data, output_dir, loss_fn, tx,
                                  augment_fn=augment_fn, augment_seed=seed)
     eval_step = make_eval_step(loss_fn, num_labels, label_mapping)
 
-    # async saves: train loop never blocks on IO; the weights-only export
-    # keeps the msgpack writer regardless of the state-checkpoint backend
+    # async saves: train loop never blocks on IO. The best-weights export
+    # rides the same backend as the state checkpoints: under 'orbax' each
+    # host writes only its addressable shards (a pod with non-replicated
+    # params cannot go through the single-host msgpack writer);
+    # ``load_params`` dispatches on the resulting '<path>.orbax' directory.
     ckpt = make_checkpointer(checkpoint_backend)
-    params_ckpt = ckpt if checkpoint_backend == "msgpack" \
-        else AsyncCheckpointer()
+    params_ckpt = ckpt
 
     if ckpt.exists(chkpt_path):
         state, epoch, min_loss, best_epoch = ckpt.load(chkpt_path, state)
@@ -309,7 +311,8 @@ def training(model, input_data, output_dir, loss_fn, tx,
         params = load_params(model_path, state.params)
     else:  # num_epochs == 0, i.e. no training
         params = state.params
-        save_params(model_path, params)
+        params_ckpt.save_params(model_path, params)
+        params_ckpt.wait()
 
     # Plot losses from the log
     try:

@@ -461,10 +461,21 @@ def test_training_with_orbax_backend(tmp_path):
                       checkpoint_epoch=1, is_print=False,
                       checkpoint_backend="orbax")
     assert params is not None
-    # the state checkpoint is an orbax directory; weights stay msgpack
+    # the state checkpoint AND the best-weights export are orbax
+    # directories: on a pod with non-replicated params the single-host
+    # msgpack writer cannot export, so the backend choice covers both
     assert os.path.isdir(os.path.join(out, "model",
                                       "checkpoint.msgpack.orbax"))
-    assert os.path.isfile(os.path.join(out, "model", "model.msgpack"))
+    assert os.path.isdir(os.path.join(out, "model", "model.msgpack.orbax"))
+    # and the generic loader dispatches on the directory
+    import jax
+    from multimodal_3d_image_segmentation_tpu.runtime.checkpoint import (
+        load_params)
+    reloaded = load_params(os.path.join(out, "model", "model.msgpack"),
+                           params)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(reloaded)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params)[0]))
 
     # resume path goes through the orbax loader
     params2 = training(model=model, input_data=TinyData(), output_dir=out,

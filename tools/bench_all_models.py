@@ -1,7 +1,14 @@
 """Full-resolution inference benchmark for every model family, vs the
 reference's published V100 numbers (reference README Fig. 1):
 HNOSeg-XS ~0.20-0.24 s, FNOSeg ~0.28 s, HNOSeg ~0.36 s, V-Net-DS ~0.33 s.
+
+``--artifact`` additionally writes ``BENCH_ZOO.json`` at the repo root so
+every README model-zoo claim is regenerable from a committed artifact:
+
+    python tools/bench_all_models.py --artifact
 """
+import json
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 
@@ -30,13 +37,14 @@ CONFIGS = {
 }
 
 
-def main():
+def main(artifact=False):
     # the shipped configs run serving precision ('high') for the fp32
     # transform matmuls — measure what users get
     from multimodal_3d_image_segmentation_tpu.ops import spectral
     spectral.set_fp32_transform_precision("high")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+    rows = []
     for name, model in CONFIGS.items():
         try:
             params = model.init(jax.random.PRNGKey(0),
@@ -50,10 +58,33 @@ def main():
             print(f"{name:11s} {n_params/1e6:8.3f}M params  "
                   f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}",
                   flush=True)
+            rows.append({
+                "model": name,
+                "params": n_params,
+                "ms_per_volume": round(ms, 2),
+                "volumes_per_sec": round(1000.0 / ms, 2),
+                "v100_ms": ref,
+                "vs_v100": round(ref / ms, 2) if ref else None,
+            })
         except Exception as e:
             print(f"{name:11s} FAILED: {type(e).__name__}: {str(e)[:100]}",
                   flush=True)
+            rows.append({"model": name, "error": f"{type(e).__name__}"})
+    if artifact:
+        out = {
+            "shape": list(SHAPE),
+            "protocol": "chained fori_loop, per-volume median "
+                        "(utils/profiling.timed_loop_ms), serving "
+                        "precision 'high', fp32 activations",
+            "device": str(jax.devices()[0]),
+            "models": rows,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_ZOO.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":
-    main()
+    main(artifact="--artifact" in sys.argv[1:])

