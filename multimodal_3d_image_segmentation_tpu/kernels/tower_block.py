@@ -1,0 +1,504 @@
+"""Fused Pallas kernel for the NeuralOperatorSeg tower block (FNOSeg /
+HNOSeg, shared weights).
+
+The reference runs a full FFT -> mix -> inverse FFT *inside every one of
+24 blocks* plus a parallel 1x1 conv branch and a concat block skip
+(reference ``nets/architectures.py:511-608``,
+``nets/hartley_operator.py:109-271``, ``nets/fourier_operator.py:109-211``).
+On TPU that structure is memory-bound: every stage re-reads the full-res
+volume from HBM, and the 1x1 channel mixes (K=24) waste 5x of every MXU
+pass on lane padding.
+
+This kernel restructures one whole block into a single pass over depth
+planes of a flat ``(D, C, W*HL)`` volume (H on the lane axis, padded to a
+multiple of 128):
+
+  per plane d:
+    y1   = inverse 2D stage  (W-expand 'mid' dot, minor-2 transpose,
+                              H-expand final dot)            [from z]
+    p,q  = one packed dot      [W_conv ; W_cc_x] @ x
+    t    = selu(y1 + p)
+    out  = selu(W_cc_t @ t + q + b_cc)                       -> HBM
+    f    = forward 2D stage of out (H 'first' dot, transpose,
+                                    W 'mid' dot)             -> HBM (small)
+
+so each block costs exactly one read + one write of the volume; the
+depth-axis transform stages run between kernels in XLA on the small
+``(D, 2, C, KH, KW)`` tensors (``d_stage_*`` below), where they are one
+well-shaped matmul each.
+
+fp32 precision inside the kernel uses the *packed-K bf16x3* trick: a
+K-dim contraction is computed as one MXU pass over
+``[hi; hi; lo] x [Mhi; Mlo; Mhi]`` — for K <= 42 the packed K stays
+within one 128 tile, so fp32-class accuracy (measured rel. err ~6e-6,
+same class as the 'high' serving precision) costs the same as a single
+bf16 pass. Mosaic has no Precision.HIGH dots, and HIGHEST costs 6
+passes. bfloat16 activations skip the packing and run native MXU.
+
+Layouts/conventions (packed corner spectra, 1/N forward norm) match
+``ops/spectral.py`` exactly; the height/width stage matrices are the
+same ``_dft_mats_np`` outputs, so values agree with the module path to
+fp rounding (the axis contraction order is fixed H -> W -> D instead of
+reduction-sorted — mathematically identical, separable transform).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.spectral import _dft_mats_np, _prec
+
+__all__ = ["TowerSpec", "make_tower_spec", "fused_tower_block",
+           "entry_forward_hw", "d_stage_forward", "d_stage_inverse",
+           "block_spectrum_update", "to_tower_flat", "from_tower_flat"]
+
+_SELU_SCALE = 1.0507009873554804934193349852946
+_SELU_ALPHA = 1.6732632423543772848170429916717
+
+
+def _selu(x):
+    safe = jnp.where(x > 0, 0.0, x)  # Mosaic has no expm1
+    return _SELU_SCALE * jnp.where(
+        x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
+
+
+def _ceil128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+class TowerSpec(NamedTuple):
+    """Static (hashable) description of one tower-block fusion problem.
+    Stage matrices live in the lru-cached ``_spec_mats`` keyed by this."""
+    transform: str                  # 'Hartley' | 'Fourier'
+    sizes: Tuple[int, int, int]     # (D, H, W) of the tower grid
+    modes: Tuple[int, int, int]     # kept modes (already clipped)
+    channels: int
+    hl: int                         # H padded to a lane multiple
+    kd: int                         # spectrum depth size (2*md)
+    kh: int                         # 2*mh
+    kw: int                         # 2*mw (Hartley) or mw (Fourier rfft)
+
+
+def make_tower_spec(transform: str, sizes, modes, channels) -> TowerSpec:
+    d, h, w = (int(s) for s in sizes)
+    md, mh, mw = (int(m) for m in modes)
+    kw = 2 * mw if transform == "Hartley" else mw
+    return TowerSpec(transform, (d, h, w), (md, mh, mw), int(channels),
+                     _ceil128(h), 2 * md, 2 * mh, kw)
+
+
+@functools.lru_cache(maxsize=32)
+def _spec_mats(spec: TowerSpec):
+    """float64 stage matrices for a spec.
+
+    Keys (shapes):
+      mh_fwd (HL, KH) cos,sin/H   H 'first' (zero rows at lane pads)
+      mw_fwd (W, KW)  cos,sin/W   W 'mid'
+      mw_inv (KW, W)              W 'mid' inverse
+      mh_inv (KH, HL)             H final inverse (zero cols at pads)
+      md_fwd (D, KD)              D forward stage (XLA side)
+      md_inv (KD, D)              D inverse stage (XLA side)
+    """
+    d, h, w = spec.sizes
+    md, mh, mw = spec.modes
+
+    def pad_rows(m, rows):
+        return np.pad(m, ((0, rows - m.shape[0]), (0, 0)))
+
+    def pad_cols(m, cols):
+        return np.pad(m, ((0, 0), (0, cols - m.shape[1])))
+
+    if spec.transform == "Hartley":
+        ch, sh = _dft_mats_np(h, mh, True, False, -1)     # (H, KH), 1/H
+        cw, sw = _dft_mats_np(w, mw, True, False, -1)     # (W, KW)
+        cwi, swi = _dft_mats_np(w, mw, False, False, -1)  # (KW, W)
+        chi, shi = _dft_mats_np(h, mh, False, False, -1)  # (KH, H)
+        cd, sd = _dft_mats_np(d, md, True, False, -1)     # (D, KD)
+        cdi, sdi = _dft_mats_np(d, md, False, False, -1)  # (KD, D)
+        # H final (inverse) = Hartley 'fold': re*(C-S) + im*(-(C+S))
+        mh_inv = (chi - shi, -(chi + shi))
+    else:
+        ch, sh = _dft_mats_np(h, mh, True, False, -1)
+        # last (rfft) axis keeps modes [0..mw-1] only, 1/W norm
+        ks = np.arange(mw)
+        theta = 2.0 * np.pi * np.outer(np.arange(w), ks) / w
+        cw, sw = np.cos(theta) / w, np.sin(-theta) / w    # (W, KW)
+        # inverse W: Hermitian doubling weights (1, 2, 2, ...) folded
+        # into a complex 'mid' scale by w_k * e^{+i theta}
+        wk = np.where(ks == 0, 1.0, 2.0)
+        thetai = 2.0 * np.pi * np.outer(ks, np.arange(w)) / w
+        cwi = wk[:, None] * np.cos(thetai)                # (KW, W)
+        swi = wk[:, None] * np.sin(thetai)
+        # inverse H final = Re extraction of e^{+i theta}: re*C - im*S
+        ksh = np.concatenate([np.arange(mh), np.arange(h - mh, h)])
+        thetah = 2.0 * np.pi * np.outer(ksh, np.arange(h)) / h
+        mh_inv = (np.cos(thetah), -np.sin(thetah))        # (KH, H)
+        cd, sd = _dft_mats_np(d, md, True, False, -1)
+        ksd = np.concatenate([np.arange(md), np.arange(d - md, d)])
+        thetad = 2.0 * np.pi * np.outer(ksd, np.arange(d)) / d
+        cdi, sdi = np.cos(thetad), np.sin(thetad)         # (KD, D), e^{+i}
+
+    return {
+        "mh_fwd": (pad_rows(ch, spec.hl), pad_rows(sh, spec.hl)),
+        "mw_fwd": (cw, sw),
+        "mw_inv": (cwi, swi),
+        "mh_inv": (pad_cols(mh_inv[0], spec.hl), pad_cols(mh_inv[1],
+                                                          spec.hl)),
+        "md_fwd": (cd, sd),
+        "md_inv": (cdi, sdi),
+    }
+
+
+# ---------------------------------------------------------------------------
+# packed-K bf16x3 helpers
+# ---------------------------------------------------------------------------
+
+def _hi_lo(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pack_operand(x, axis):
+    """fp32 operand -> bf16 [hi; hi; lo] along the contraction axis."""
+    hi, lo = _hi_lo(x)
+    return jnp.concatenate([hi, hi, lo], axis=axis)
+
+
+def _pack_matrix_np(m):
+    """numpy fp64 matrix -> bf16 [hi; lo; hi] along axis 0 (the K dim)."""
+    f32 = np.asarray(m, np.float32)
+    hi = f32.astype(jnp.bfloat16)
+    lo = (f32 - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    return np.concatenate([np.asarray(hi), np.asarray(lo), np.asarray(hi)],
+                          axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _kernel_mats(spec: TowerSpec, packed: bool):
+    """bf16 device-ready stage matrices in kernel-argument order:
+    (mwi_c, mwi_s, mhi_a, mhi_b, mhf_c, mhf_s, mwf_c, mwf_s)."""
+    m = _spec_mats(spec)
+    seq = (*m["mw_inv"], *m["mh_inv"], *m["mh_fwd"], *m["mw_fwd"])
+    if packed:
+        return tuple(_pack_matrix_np(x) for x in seq)
+    return tuple(np.asarray(x, np.float32).astype(jnp.bfloat16)
+                 for x in seq)
+
+
+def _pack_weight(w, dtype):
+    """(O, K) channel-mix weight prepared for the kernel dot."""
+    if dtype == jnp.float32:
+        hi, lo = _hi_lo(w.astype(jnp.float32))
+        return jnp.concatenate([hi, lo, hi], axis=1)
+    return w.astype(jnp.bfloat16)
+
+
+def _kdot(a, b):
+    """MXU dot with fp32 accumulation (operands pre-packed/bf16)."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _maybe_pack(x, axis, packed):
+    if packed:
+        return _pack_operand(x, axis)
+    return x.astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
+                  mwi_c, mwi_s, mhi_a, mhi_b, mhf_c, mhf_s, mwf_c, mwf_s,
+                  out_ref, f_ref, *, spec: TowerSpec, packed: bool):
+    c = spec.channels
+    _, h, w = spec.sizes
+    hl, kh, kw = spec.hl, spec.kh, spec.kw
+    npl = w * hl
+
+    # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL)
+    z = z_ref[0].reshape(2 * c * kh, kw)
+    zp = _maybe_pack(z, 1, packed)
+    a = _kdot(zp, mwi_c[...]).reshape(2, c, kh, w)
+    b = _kdot(zp, mwi_s[...]).reshape(2, c, kh, w)
+    yre = a[0] - b[1]
+    yim = b[0] + a[1]
+    yre = jnp.swapaxes(yre, 1, 2).reshape(c * w, kh)
+    yim = jnp.swapaxes(yim, 1, 2).reshape(c * w, kh)
+    y1 = (_kdot(_maybe_pack(yre, 1, packed), mhi_a[...])
+          + _kdot(_maybe_pack(yim, 1, packed), mhi_b[...]))  # (C*W, HL) f32
+
+    # ---- tail: p/q one packed dot on x; t = selu(y1+p); out = selu(...)
+    x = x_ref[0]                                   # (C, NPL)
+    xp = _maybe_pack(x, 0, packed)
+    pq = _kdot(wp1_ref[...], xp) + bias_ref[...]   # (2C, NPL) f32
+    t = _selu(y1.reshape(c, npl) + pq[:c])
+    tp = _maybe_pack(t, 0, packed)
+    o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
+    out_ref[0] = o.astype(out_ref.dtype)
+
+    # ---- forward 2D of out: (C, NPL) -> f (2, C, KH, KW)
+    o2 = o.reshape(c, w, hl).reshape(c * w, hl)
+    op = _maybe_pack(o2, 1, packed)
+    fre = _kdot(op, mhf_c[...]).reshape(c, w, kh)
+    fim = _kdot(op, mhf_s[...]).reshape(c, w, kh)
+    fre = jnp.swapaxes(fre, 1, 2).reshape(c * kh, w)
+    fim = jnp.swapaxes(fim, 1, 2).reshape(c * kh, w)
+    frp = _maybe_pack(fre, 1, packed)
+    fip = _maybe_pack(fim, 1, packed)
+    gre = _kdot(frp, mwf_c[...]) - _kdot(fip, mwf_s[...])
+    gim = _kdot(frp, mwf_s[...]) + _kdot(fip, mwf_c[...])
+    f_ref[0, 0] = gre.reshape(c, kh, kw).astype(f_ref.dtype)
+    f_ref[0, 1] = gim.reshape(c, kh, kw).astype(f_ref.dtype)
+
+
+def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
+                      interpret: bool):
+    d = spec.sizes[0]
+    c, kh, kw = spec.channels, spec.kh, spec.kw
+    npl = x_flat.shape[-1]
+    dtype = x_flat.dtype
+    packed = dtype == jnp.float32
+
+    mat_args = [jnp.asarray(m) for m in _kernel_mats(spec, packed)]
+    kernel = functools.partial(_tower_kernel, spec=spec, packed=packed)
+
+    def _full(m):
+        return pl.BlockSpec(m.shape,
+                            lambda i, nd=m.ndim: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out, f = pl.pallas_call(
+        kernel,
+        grid=(d,),
+        in_specs=[
+            pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c, kh, kw), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _full(wp1), _full(wp2), _full(bias),
+            *[_full(m) for m in mat_args],
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c, kh, kw), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, c, npl), dtype),
+            jax.ShapeDtypeStruct((d, 2, c, kh, kw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_flat, z, wp1, wp2, bias, *mat_args)
+    return out, f
+
+
+# ---------------------------------------------------------------------------
+# XLA-side depth stages and spectrum update (small tensors)
+# ---------------------------------------------------------------------------
+
+def d_stage_forward(f, spec: TowerSpec):
+    """(D, 2, C, KH, KW) per-plane partial spectra -> packed spectrum.
+
+    Hartley: real 'fold' output (KD, C, KH, KW).
+    Fourier: complex 'mid' output (2, KD, C, KH, KW).
+    """
+    dt = f.dtype
+    prec = _prec(dt)
+    mats = _spec_mats(spec)
+    cd = jnp.asarray(mats["md_fwd"][0], dt)
+    sd = jnp.asarray(mats["md_fwd"][1], dt)
+    if spec.transform == "Hartley":
+        # fold: sum_d re*(C-S) - im*(C+S)
+        m = jnp.stack([cd - sd, -(cd + sd)], axis=1)     # (D, 2, KD)
+        return jnp.einsum("dqcxy,dqk->kcxy", f, m, precision=prec)
+    re = jnp.einsum("dcxy,dk->kcxy", f[:, 0], cd, precision=prec) \
+        - jnp.einsum("dcxy,dk->kcxy", f[:, 1], sd, precision=prec)
+    im = jnp.einsum("dcxy,dk->kcxy", f[:, 0], sd, precision=prec) \
+        + jnp.einsum("dcxy,dk->kcxy", f[:, 1], cd, precision=prec)
+    return jnp.stack([re, im])
+
+
+def d_stage_inverse(s, spec: TowerSpec):
+    """Packed spectrum -> per-plane complex pre-images (D, 2, C, KH, KW)."""
+    dt = s.dtype
+    prec = _prec(dt)
+    mats = _spec_mats(spec)
+    cdi = jnp.asarray(mats["md_inv"][0], dt)
+    sdi = jnp.asarray(mats["md_inv"][1], dt)
+    if spec.transform == "Hartley":
+        # 'first': real -> complex, e^{-i theta}
+        m = jnp.stack([cdi, sdi], axis=-1)               # (KD, D, 2)
+        return jnp.einsum("kcxy,kdq->dqcxy", s, m, precision=prec)
+    re, im = s[0], s[1]
+    zre = jnp.einsum("kcxy,kd->dcxy", re, cdi, precision=prec) \
+        - jnp.einsum("kcxy,kd->dcxy", im, sdi, precision=prec)
+    zim = jnp.einsum("kcxy,kd->dcxy", re, sdi, precision=prec) \
+        + jnp.einsum("kcxy,kd->dcxy", im, cdi, precision=prec)
+    return jnp.stack([zre, zim], axis=1)
+
+
+def block_spectrum_update(f, op_params, spec: TowerSpec):
+    """Between-kernel update: D forward stage, channel mix (+ freq SELU
+    for Hartley, reference ``nets/hartley_operator.py:265-267``), D
+    inverse stage. ``op_params``: (weight,) for Hartley, (weight_real,
+    weight_imag) for Fourier — reference (O, I) layout."""
+    dt = f.dtype
+    prec = _prec(dt)
+    s = d_stage_forward(f, spec)
+    if spec.transform == "Hartley":
+        w = op_params[0].astype(dt)
+        y = jnp.einsum("kcxy,oc->koxy", s, w, precision=prec)
+        y = jax.nn.selu(y)
+    else:
+        wr = op_params[0].astype(dt)
+        wi = op_params[1].astype(dt)
+        yre = jnp.einsum("kcxy,oc->koxy", s[0], wr, precision=prec) \
+            - jnp.einsum("kcxy,oc->koxy", s[1], wi, precision=prec)
+        yim = jnp.einsum("kcxy,oc->koxy", s[0], wi, precision=prec) \
+            + jnp.einsum("kcxy,oc->koxy", s[1], wr, precision=prec)
+        y = jnp.stack([yre, yim])
+    return d_stage_inverse(y, spec)
+
+
+def entry_forward_hw(x_flat, spec: TowerSpec):
+    """XLA forward H/W stages of the whole flat volume (the tower entry):
+    (D, C, W*HL) -> per-plane partials (D, 2, C, KH, KW)."""
+    d, h, w = spec.sizes
+    c = spec.channels
+    dt = x_flat.dtype
+    prec = _prec(dt)
+    mats = _spec_mats(spec)
+    x4 = x_flat.reshape(d, c, w, spec.hl)
+    ch = jnp.asarray(mats["mh_fwd"][0], dt)
+    sh = jnp.asarray(mats["mh_fwd"][1], dt)
+    fre = jnp.einsum("dcwh,hk->dcwk", x4, ch, precision=prec)
+    fim = jnp.einsum("dcwh,hk->dcwk", x4, sh, precision=prec)
+    cw = jnp.asarray(mats["mw_fwd"][0], dt)
+    sw = jnp.asarray(mats["mw_fwd"][1], dt)
+    gre = jnp.einsum("dcwk,wj->dckj", fre, cw, precision=prec) \
+        - jnp.einsum("dcwk,wj->dckj", fim, sw, precision=prec)
+    gim = jnp.einsum("dcwk,wj->dckj", fre, sw, precision=prec) \
+        + jnp.einsum("dcwk,wj->dckj", fim, cw, precision=prec)
+    return jnp.stack([gre, gim], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# reference (plain-jnp) block body — backward pass + numerics oracle
+# ---------------------------------------------------------------------------
+
+def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
+    """Pure-jnp replay of the kernel body over all planes at once.
+
+    ``w_cat``: (2C, C) rows = [W_conv ; W_cc_x]; ``w_cc_t``: (C, C);
+    both contract the input-channel (column) dimension.
+    """
+    d, h, w = spec.sizes
+    c, hl = spec.channels, spec.hl
+    dt = x_flat.dtype
+    prec = _prec(dt)
+    mats = _spec_mats(spec)
+
+    cwi = jnp.asarray(mats["mw_inv"][0], dt)
+    swi = jnp.asarray(mats["mw_inv"][1], dt)
+    zre, zim = z[:, 0], z[:, 1]                   # (D, C, KH, KW)
+    yre = jnp.einsum("dcxj,jw->dcxw", zre, cwi, precision=prec) \
+        - jnp.einsum("dcxj,jw->dcxw", zim, swi, precision=prec)
+    yim = jnp.einsum("dcxj,jw->dcxw", zre, swi, precision=prec) \
+        + jnp.einsum("dcxj,jw->dcxw", zim, cwi, precision=prec)
+    mha = jnp.asarray(mats["mh_inv"][0], dt)
+    mhb = jnp.asarray(mats["mh_inv"][1], dt)
+    y1 = jnp.einsum("dcxw,xh->dcwh", yre, mha, precision=prec) \
+        + jnp.einsum("dcxw,xh->dcwh", yim, mhb, precision=prec)
+    y1 = y1.reshape(d, c, w * hl)
+
+    pq = jnp.einsum("dcn,oc->don", x_flat, w_cat.astype(dt),
+                    precision=prec) + b_cat.astype(dt)[None, :, None]
+    t = jax.nn.selu(y1 + pq[:, :c])
+    o = jax.nn.selu(
+        jnp.einsum("dcn,oc->don", t, w_cc_t.astype(dt), precision=prec)
+        + pq[:, c:])
+
+    f = entry_forward_hw(o, spec)
+    return o, f
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (backward = jnp reference replay)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
+    """One fused tower block: (x_flat, z) -> (out_flat, f_next).
+
+    Args:
+        x_flat: (D, C, W*HL) block input volume.
+        z: (D, 2, C, KH, KW) inverse-D-stage pre-images
+            (``d_stage_inverse`` of the mixed spectrum).
+        w_cat: (2C, C) stacked [conv_branch ; conv_concat-x] matrices.
+        w_cc_t: (C, C) conv_concat matrix for the activated branch.
+        b_cat: (2C,) stacked [conv_branch bias or zeros ; conv_concat bias].
+        spec: TowerSpec (static).
+        interpret: run the Pallas interpreter (CPU tests).
+
+    Returns:
+        out_flat (D, C, W*HL) and f_next (D, 2, C, KH, KW) — the forward
+        H/W partial spectra of out (feed ``block_spectrum_update``).
+    """
+    return _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+
+
+def _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
+    dtype = x_flat.dtype
+    wp1 = _pack_weight(w_cat, dtype)
+    wp2 = _pack_weight(w_cc_t, dtype)
+    bias = b_cat.astype(jnp.float32)[:, None]
+    return _run_tower_kernel(x_flat, z.astype(dtype), wp1, wp2, bias,
+                             spec, interpret)
+
+
+def _fused_fwd(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
+    out = _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+    return out, (x_flat, z, w_cat, w_cc_t, b_cat)
+
+
+def _fused_bwd(spec, interpret, res, g):
+    x_flat, z, w_cat, w_cc_t, b_cat = res
+    _, vjp = jax.vjp(
+        lambda *a: _block_reference(*a, spec=spec), x_flat, z, w_cat,
+        w_cc_t, b_cat)
+    return vjp(g)
+
+
+fused_tower_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# layout conversion helpers
+# ---------------------------------------------------------------------------
+
+def to_tower_flat(x_cl: jax.Array) -> jax.Array:
+    """(1, D, H, W, C) channels-last -> (D, C, W*HL) flat (H on lanes)."""
+    _, d, h, w, c = x_cl.shape
+    hl = _ceil128(h)
+    xt = jnp.transpose(x_cl[0], (0, 3, 2, 1))     # (D, C, W, H)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, hl - h)))
+    return xt.reshape(d, c, w * hl)
+
+
+def from_tower_flat(x_flat: jax.Array, sizes, channels) -> jax.Array:
+    """(D, C, W*HL) -> (1, C, D, H, W) channel-first."""
+    d, h, w = sizes
+    hl = _ceil128(h)
+    x4 = x_flat.reshape(d, channels, w, hl)[..., :h]   # (D, C, W, H)
+    return jnp.transpose(x4, (1, 0, 3, 2))[None]       # (1, C, D, H, W)

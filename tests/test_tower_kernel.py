@@ -1,0 +1,143 @@
+"""Fused tower-block kernel vs the module-path NeuralOperatorBlock
+(interpreter mode on CPU). Covers Hartley + Fourier, fp32 + bf16, odd
+sizes, gradients, and the entry/exit layout helpers."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_3d_image_segmentation_tpu.kernels import tower_block as tb
+from multimodal_3d_image_segmentation_tpu.models.architectures import (
+    NeuralOperatorBlock)
+
+
+def _block_params(key, c, transform):
+    """Init the module block and extract kernel-side weight bundles."""
+    x = jnp.zeros((1, 8, 6, 5, c))
+    blk = NeuralOperatorBlock(c, c, (2, 2, 2), transform)
+    params = blk.init(key, x)["params"]
+    mat_conv = params["conv_branch"]["kernel"].reshape(c, c)
+    mat_cc = params["conv_concat"]["conv"]["kernel"].reshape(2 * c, c)
+    b_cc = params["conv_concat"]["conv"]["bias"]
+    if transform == "Hartley":
+        op = (params["op"]["weight"],)
+    else:
+        op = (params["op"]["weight_real"], params["op"]["weight_imag"])
+    w_cat = jnp.concatenate([mat_conv.T, mat_cc[c:].T], axis=0)
+    w_cc_t = mat_cc[:c].T
+    b_cat = jnp.concatenate([jnp.zeros_like(b_cc), b_cc])
+    return blk, params, op, w_cat, w_cc_t, b_cat
+
+
+def _run_fused(x_cl, op, w_cat, w_cc_t, b_cat, transform, modes):
+    b, d, h, w, c = x_cl.shape
+    spec = tb.make_tower_spec(transform, (d, h, w), modes, c)
+    x_flat = tb.to_tower_flat(x_cl)
+    f = tb.entry_forward_hw(x_flat, spec)
+    z = tb.block_spectrum_update(f, op, spec)
+    out_flat, f_next = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t,
+                                            b_cat, spec, True)
+    return tb.from_tower_flat(out_flat, (d, h, w), c), f_next, spec
+
+
+@pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
+@pytest.mark.parametrize("shape", [(1, 8, 6, 5, 4), (1, 7, 9, 6, 4)])
+def test_fused_block_matches_module(transform, shape):
+    rng = np.random.default_rng(0)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    blk, params, op, w_cat, w_cc_t, b_cat = _block_params(
+        jax.random.PRNGKey(1), c, transform)
+    blk = NeuralOperatorBlock(c, c, (2, 2, 2), transform)
+    want = blk.apply({"params": params}, x)           # channels-last
+
+    got_cf, _, _ = _run_fused(x, op, w_cat, w_cc_t, b_cat, transform,
+                              (2, 2, 2))
+    got = jnp.transpose(got_cf[0], (1, 2, 3, 0))[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
+def test_fused_block_reference_matches_kernel(transform):
+    """The jnp reference replay (used for the backward pass) and the
+    Pallas kernel agree."""
+    rng = np.random.default_rng(2)
+    shape = (1, 6, 10, 7, 4)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    _, _, op, w_cat, w_cc_t, b_cat = _block_params(
+        jax.random.PRNGKey(3), c, transform)
+    d, h, w = shape[1:4]
+    spec = tb.make_tower_spec(transform, (d, h, w), (2, 3, 2), c)
+    x_flat = tb.to_tower_flat(x)
+    f = tb.entry_forward_hw(x_flat, spec)
+    z = tb.block_spectrum_update(f, op, spec)
+    out_k, f_k = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat,
+                                      spec, True)
+    out_r, f_r = tb._block_reference(x_flat, z, w_cat, w_cc_t, b_cat,
+                                     spec)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_block_bf16_close():
+    rng = np.random.default_rng(4)
+    shape = (1, 6, 8, 5, 4)
+    c = shape[-1]
+    x32 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    blk, params, op, w_cat, w_cc_t, b_cat = _block_params(
+        jax.random.PRNGKey(5), c, "Hartley")
+    want = blk.apply({"params": params}, x32)
+    got_cf, _, _ = _run_fused(x32.astype(jnp.bfloat16), op, w_cat,
+                              w_cc_t, b_cat, "Hartley", (2, 2, 2))
+    got = jnp.transpose(got_cf[0].astype(jnp.float32), (1, 2, 3, 0))[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fused_block_grad_flows():
+    rng = np.random.default_rng(6)
+    shape = (1, 6, 6, 5, 4)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    _, _, op, w_cat, w_cc_t, b_cat = _block_params(
+        jax.random.PRNGKey(7), c, "Hartley")
+    d, h, w = shape[1:4]
+    spec = tb.make_tower_spec("Hartley", (d, h, w), (2, 2, 2), c)
+    x_flat = tb.to_tower_flat(x)
+    f = tb.entry_forward_hw(x_flat, spec)
+
+    def loss(w_cat, w_cc_t, b_cat, x_flat):
+        z = tb.block_spectrum_update(f, op, spec)
+        out, _ = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat,
+                                      spec, True)
+        return jnp.sum(jnp.sin(out))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(w_cat, w_cc_t, b_cat,
+                                                 x_flat)
+    # finite + matches the pure-jnp formulation's gradient
+    def loss_ref(w_cat, w_cc_t, b_cat, x_flat):
+        z = tb.block_spectrum_update(f, op, spec)
+        out, _ = tb._block_reference(x_flat, z, w_cat, w_cc_t, b_cat,
+                                     spec)
+        return jnp.sum(jnp.sin(out))
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        w_cat, w_cc_t, b_cat, x_flat)
+    for g, gr in zip(grads, grads_ref):
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_layout_roundtrip():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 5, 7, 6, 3)).astype(np.float32))
+    flat = tb.to_tower_flat(x)
+    back = tb.from_tower_flat(flat, (5, 7, 6), 3)   # (1, C, D, H, W)
+    want = jnp.transpose(x[0], (3, 0, 1, 2))[None]
+    np.testing.assert_allclose(np.asarray(back), np.asarray(want))
