@@ -205,9 +205,97 @@ class _TransSegBase(nn.Module):
                                    self.output_activation)
 
 
+class _TowerConvIn(nn.Module):
+    """Tower entry conv (k=2/s=2) via the fused Pallas kernel, reading the
+    raw channel-first input and emitting the tower flat layout
+    ``(D, C, W*HL)`` (H on the lane axis). ConvNormAct's exact parameter
+    tree (``conv_in/conv/{kernel,bias}``); SELU fused in the kernel."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x_cf):
+        from ..kernels.conv_in import conv_in_s2d
+        from ..kernels.tower_block import _ceil128
+        from .hnosegxs import _ConvParams
+        kernel, bias = _ConvParams(self.features, self.in_features, 2,
+                                   True, name="conv")()
+        y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
+                        bias.astype(x_cf.dtype), channels_middle=True,
+                        apply_selu=True)
+        y = jnp.transpose(y[0], (0, 2, 3, 1))       # (D, F, W, H)
+        d, f, w, h = y.shape
+        hl = _ceil128(h)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, hl - h)))
+        return y.reshape(d, f, w * hl), (d, h, w)
+
+
+class _FourierOpWeight(nn.Module):
+    """Param-only holder for FourierOperator's complex weight pair
+    (``<name>/{weight_real,weight_imag}``)."""
+    out_channels: int
+    in_channels: int
+    snn_init: bool
+
+    @nn.compact
+    def __call__(self):
+        from ..ops import initializers as inits
+        init = (inits.kaiming_normal_linear(self.in_channels)
+                if self.snn_init
+                else inits.kaiming_uniform_a5(self.in_channels))
+        shape = (self.out_channels, self.in_channels)
+        return (self.param("weight_real", init, shape),
+                self.param("weight_imag", init, shape))
+
+
+class _TowerBlockParams(nn.Module):
+    """Param-only holder for one fused tower block; tree identical to
+    NeuralOperatorBlock (``<name>/op``, ``<name>/conv_branch``,
+    ``<name>/conv_concat/conv``)."""
+    channels: int
+    transform: str
+
+    @nn.compact
+    def __call__(self):
+        from .hnosegxs import _Conv1x1Weight, _ConvParams, _OpWeight
+        c = self.channels
+        if self.transform == "Hartley":
+            op = (_OpWeight(c, c, True, name="op")(),)
+        else:
+            op = _FourierOpWeight(c, c, True, name="op")()
+        conv_b = _Conv1x1Weight(c, c, True, name="conv_branch")()
+        cc_k, cc_b = _CCHolder(c, 2 * c, name="conv_concat")()
+        mat_conv = conv_b.reshape(c, c)
+        mat_cc = cc_k.reshape(2 * c, c)
+        w_cat = jnp.concatenate([mat_conv.T, mat_cc[c:].T], axis=0)
+        w_cc_t = mat_cc[:c].T
+        b_cat = jnp.concatenate([jnp.zeros_like(cc_b), cc_b])
+        return op, w_cat, w_cc_t, b_cat
+
+
+class _CCHolder(nn.Module):
+    """ConcatConvNormAct param tree (``<name>/conv/{kernel,bias}``)."""
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        from .hnosegxs import _ConvParams
+        return _ConvParams(self.features, self.fan_in, 1, True,
+                           name="conv")()
+
+
 class NeuralOperatorSeg(_TransSegBase):
     """FNO / FNOSeg / HNOSeg family (reference
-    ``nets/architectures.py:356-429``)."""
+    ``nets/architectures.py:356-429``).
+
+    ``use_pallas``: run the fused tower-block Pallas path
+    (``kernels/tower_block.py``) — one HBM round trip per block instead
+    of the module path's per-stage passes. Gated on: TPU, 3D, batch 1,
+    channel-first IO, shared weights, SELU, block skip+concat, no
+    conv-branch bias, no deep supervision; falls back to the module path
+    otherwise. Parameter trees are identical, so checkpoints are
+    interchangeable."""
     in_channels: int
     out_channels: int
     filters: int
@@ -225,11 +313,72 @@ class NeuralOperatorSeg(_TransSegBase):
     ndim: int = 5
     channel_first_io: bool = True
     compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    def _use_fused_tower(self, x_cf):
+        return (self.use_pallas and self.ndim == 5
+                and self.channel_first_io and x_cf.shape[0] == 1
+                and self.weights_type == "shared"
+                and is_selu(self.activation)
+                and self.use_block_skip and self.use_block_concat
+                and not self.use_bias_conv_branch
+                and not self.use_deep_supervision
+                and jax.default_backend() == "tpu")
+
+    def _fused_tower_forward(self, x_cf):
+        from ..kernels import tower_block as tb
+        from .hnosegxs import _Conv1x1Weight, _FlatConcatConv
+        from ..ops.spectral import clip_modes, normalize_modes
+
+        interpret = jax.default_backend() != "tpu"
+        in_dtype = x_cf.dtype
+        x = x_cf.astype(self.compute_dtype)
+        image_size = x.shape[2:]
+
+        if self.use_resize:
+            x_flat, sizes = _TowerConvIn(self.filters, x.shape[1],
+                                         name="conv_in")(x)
+        else:
+            d, h, w = x.shape[2:]
+            hl = tb._ceil128(h)
+            xt = jnp.transpose(x[0], (1, 0, 3, 2))   # (D, C, W, H)
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, hl - h)))
+            x_flat = xt.reshape(d, x.shape[1], w * hl)
+            sizes = (d, h, w)
+
+        x_flat = _FlatConcatConv(self.filters, x_flat.shape[1],
+                                 name="conv1")((x_flat,))
+
+        modes = clip_modes(normalize_modes(self.num_modes, 3), sizes)
+        spec = tb.make_tower_spec(self.transform_type, sizes, modes,
+                                  self.filters)
+        f = tb.entry_forward_hw(x_flat, spec)
+        for i in range(self.num_transform_blocks):
+            op, w_cat, w_cc_t, b_cat = _TowerBlockParams(
+                self.filters, self.transform_type, name=f"layers_{i}")()
+            z = tb.block_spectrum_update(f, op, spec)
+            x_flat, f = tb.fused_tower_block(
+                x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+
+        kern = _Conv1x1Weight(self.out_channels, self.filters, True,
+                              name="conv_out")()
+        mat = kern.reshape(self.filters, self.out_channels)
+        x_flat = jnp.einsum("dcn,co->don", x_flat, mat.astype(x_flat.dtype),
+                            precision=_prec(x_flat.dtype))
+
+        x = tb.from_tower_flat(x_flat, sizes, self.out_channels)
+        if self.use_resize:
+            x = resize_linear(x, image_size, channel_first=True)
+        x = spatial_padcrop(x, image_size, channel_first=True)
+        x = x.astype(in_dtype)
+        return _apply_output_activation(x, self.output_activation, axis=1)
 
     @nn.compact
     def __call__(self, x):
         assert self.transform_type in ("Fourier", "Hartley")
         assert self.ndim in (4, 5)
+        if self.channel_first_io and self._use_fused_tower(x):
+            return self._fused_tower_forward(x)
         if self.channel_first_io:
             x = _to_channels_last(x)
 

@@ -136,14 +136,20 @@ def run(config_args):
         par = config_args["parallel"]
         mesh = make_mesh(n_data=par.get("n_data"),
                          n_spatial=par.get("n_spatial", 1))
-        # The Pallas kernel paths have no SPMD partitioning rules; under a
-        # mesh the models run their (sharding-transparent) XLA module
-        # paths. Drop the flag loudly rather than failing in the
-        # partitioner.
-        if config_args.get("model", {}).pop("use_pallas", None):
-            print("Warning: [model] use_pallas is disabled under "
-                  "[parallel] meshes (Pallas kernels are single-device; "
-                  "the XLA module path shards transparently).")
+        # The Pallas kernel paths have no SPMD partitioning rules. Under a
+        # data-only mesh they compose via a shard_map wrapper (the train
+        # engine wraps model.apply; each device traces its per-device
+        # batch). Under spatial sharding the kernels would need halo
+        # exchanges — drop the flags loudly and run the
+        # (sharding-transparent) XLA module path.
+        if par.get("n_spatial", 1) > 1:
+            for flag in ("use_pallas", "use_flat"):
+                if config_args.get("model", {}).pop(flag, None):
+                    print(f"Warning: [model] {flag} is disabled under "
+                          "[parallel] spatial sharding (Pallas kernels "
+                          "are single-device; the XLA module path shards "
+                          "transparently). Data-only meshes (n_spatial=1) "
+                          "compose with the kernels via shard_map.")
 
     # Train or read model
     model = None

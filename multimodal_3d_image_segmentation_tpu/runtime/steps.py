@@ -20,7 +20,7 @@ from flax.training import train_state
 from ..utils.labels import remap_labels, to_categorical
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "make_predict_step"]
+           "make_eval_step", "make_predict_step", "make_sharded_apply"]
 
 
 class TrainState(train_state.TrainState):
@@ -28,8 +28,51 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def create_train_state(model, params, tx) -> TrainState:
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+def create_train_state(model, params, tx, apply_fn=None) -> TrainState:
+    return TrainState.create(apply_fn=apply_fn or model.apply,
+                             params=params, tx=tx)
+
+
+def make_sharded_apply(model, mesh):
+    """Data-parallel ``shard_map`` wrapper around ``model.apply``.
+
+    Params replicated, batch sharded over the mesh's ``data`` axis: inside
+    the wrapper each device traces its per-device batch, so the
+    single-device Pallas kernel paths (which gate on batch 1) compose
+    with data-parallel meshes — the round-2 limitation where
+    ``use_pallas`` had to be dropped under any ``[parallel]`` mesh.
+    Differentiable: ``shard_map``'s transpose psums the replicated
+    params' cotangent, which is exactly the DP gradient all-reduce.
+
+    Only valid for ``n_spatial == 1`` meshes (spatially sharded Pallas
+    kernels would need halo exchanges) and batch sizes divisible by
+    ``n_data``.
+    """
+    try:
+        from jax import shard_map
+        _relax = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        _relax = {"check_rep": False}
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+    assert mesh.shape[SPATIAL_AXIS] == 1, (
+        "make_sharded_apply composes Pallas kernels with the data axis "
+        "only; spatial sharding uses the XLA module path")
+
+    def fwd(variables, x):
+        return model.apply(variables, x)
+
+    def apply_fn(variables, x):
+        if x.shape[0] % mesh.shape[DATA_AXIS]:
+            return model.apply(variables, x)  # replicated fallback
+        in_spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return shard_map(fwd, mesh=mesh, in_specs=(P(), in_spec),
+                         out_specs=in_spec, **_relax)(variables, x)
+
+    return apply_fn
 
 
 def make_train_step(loss_fn: Callable, num_labels: int,

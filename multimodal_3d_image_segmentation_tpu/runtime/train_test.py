@@ -48,7 +48,7 @@ from .checkpoint import (AsyncCheckpointer, load_params,
                          make_checkpointer,
                          save_params)
 from .steps import (create_train_state, make_eval_step, make_predict_step,
-                    make_train_step)
+                    make_sharded_apply, make_train_step)
 
 __all__ = ["training", "testing", "plot_losses", "get_losses_from_file",
            "save_model_summary", "save_model_graph", "save_output"]
@@ -190,7 +190,18 @@ def training(model, input_data, output_dir, loss_fn, tx,
     if params is None:
         params = model.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1,) + input_shape[1:]))["params"]
-    state = create_train_state(model, params, tx)
+
+    # Pallas kernel paths have no SPMD partitioning rules; under a
+    # data-only mesh they compose via a shard_map wrapper (each device
+    # traces its per-device batch). Spatial meshes use the XLA module
+    # path (run.py drops the flags loudly there).
+    apply_fn = None
+    from ..parallel.mesh import SPATIAL_AXIS
+    if (mesh is not None and mesh.shape.get(SPATIAL_AXIS, 1) == 1
+            and (getattr(model, "use_pallas", False)
+                 or getattr(model, "use_flat", False))):
+        apply_fn = make_sharded_apply(model, mesh)
+    state = create_train_state(model, params, tx, apply_fn=apply_fn)
 
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
@@ -425,6 +436,13 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
         print(output_dir)
 
     predict_step = make_predict_step(model)
+    # Pallas kernel paths are single-device: volume-sharded inference
+    # would hit the partitioner, so under a mesh the kernels' models run
+    # testing on one device (training composed via shard_map instead).
+    _kernel_model = (getattr(model, "use_pallas", False)
+                     or getattr(model, "use_flat", False))
+    if mesh is not None and _kernel_model:
+        mesh = None
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
 

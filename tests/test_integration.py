@@ -121,6 +121,7 @@ region_labels = [
     return get_config(sio, source=str(tmp_path / "config.ini"))
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     data_root = tmp_path / "data"
     os.makedirs(data_root)
@@ -189,6 +190,7 @@ def test_refuses_overwrite_and_resume(tmp_path):
     assert "Epoch: 3" in log
 
 
+@pytest.mark.slow
 def test_zero_shot_super_resolution_pipeline(tmp_path):
     """Train at low resolution, test at double resolution with the same
     weights (reference README.md:83-87 semantics via test-only config)."""
@@ -244,6 +246,7 @@ def test_inference_cli(tmp_path):
     assert pred.array.shape == (24, 28, 20)
 
 
+@pytest.mark.slow
 def test_2d_pipeline(tmp_path):
     """2D images end to end: ndim inferred from data (reference run.py:84)."""
     rng = np.random.default_rng(3)
@@ -352,6 +355,7 @@ num_modes = (2, 2, 2)
 patch_size = 2
 """,
 ], ids=["fnoseg", "hnoseg", "vnetds", "hartleymha"])
+@pytest.mark.slow
 def test_pipeline_other_model_families(tmp_path, model_section):
     """Every model family runs through the config-driven pipeline."""
     data_root = tmp_path / "data"
@@ -373,6 +377,7 @@ def test_pipeline_other_model_families(tmp_path, model_section):
     assert pred.array.shape == (16, 16, 12)
 
 
+@pytest.mark.slow
 def test_pipeline_with_parallel_mesh(tmp_path):
     """[parallel] config section: training+testing over a (data, spatial)
     mesh on the virtual 8-device backend."""
@@ -401,6 +406,7 @@ n_spatial = 2
     assert pred.array.shape == (16, 16, 12)
 
 
+@pytest.mark.slow
 def test_pipeline_with_device_augmentation(tmp_path):
     """[augmentation] device = True: augmentation inside the jitted step."""
     data_root = tmp_path / "data"
@@ -420,6 +426,7 @@ def test_pipeline_with_device_augmentation(tmp_path):
     assert log.count("train_loss:") == 2
 
 
+@pytest.mark.slow
 def test_training_with_orbax_backend(tmp_path):
     """[train] checkpoint_backend = 'orbax' flows through run()'s training
     and resumes from the sharded checkpoint format."""
@@ -485,6 +492,7 @@ def test_training_with_orbax_backend(tmp_path):
     assert params2 is not None
 
 
+@pytest.mark.slow
 def test_cli_entrypoints_as_subprocesses(tmp_path):
     """The real CLI entries (`python -m ...runtime.run config.ini` and the
     partitioning CLI) work from a clean subprocess — the exact user

@@ -98,6 +98,7 @@ def test_multihost_helpers_single_process():
     np.testing.assert_allclose(np.asarray(ga), local)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bare_subprocess():
     """Invoke __graft_entry__.dryrun_multichip(8) exactly the way the
     driver does: a fresh interpreter with NO conftest and NO
@@ -171,3 +172,48 @@ def test_multihost_two_process_train_step(tmp_path):
 
     np.testing.assert_allclose(result["loss"], float(loss), rtol=1e-5)
     np.testing.assert_allclose(result["param_fingerprint"], fp, rtol=1e-5)
+
+
+def test_shard_map_apply_composes_pallas_with_dp(monkeypatch):
+    """use_pallas + data-parallel mesh via make_sharded_apply: each device
+    traces per-device batch 1, so the kernel gates engage inside the
+    shard_map (interpret mode on CPU); numerics match the unsharded
+    module path (round-2 VERDICT item 3)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    from multimodal_3d_image_segmentation_tpu.runtime.steps import (
+        make_sharded_apply)
+
+    # bypass the TPU-backend gate so the fused path runs (interpret mode)
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 2, 8, 9, 6)).astype(np.float32))
+    ref = architectures.NeuralOperatorSeg(2, 3, 4, 2, (2, 2, 2), "Hartley")
+    fused = architectures.NeuralOperatorSeg(2, 3, 4, 2, (2, 2, 2),
+                                            "Hartley", use_pallas=True)
+    params = ref.init(jax.random.PRNGKey(0), x[:1])["params"]
+    want = np.asarray(ref.apply({"params": params}, x))
+
+    mesh = make_mesh(n_data=4, n_spatial=1)
+    apply_fn = make_sharded_apply(fused, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh, x.shape))
+    ps = jax.device_put({"params": params}, replicated(mesh))
+    got = np.asarray(jax.jit(apply_fn)(ps, xs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    # gradients flow through the shard_map (DP psum via transpose)
+    def loss(p, xv):
+        return jnp.sum(apply_fn({"params": p}, xv) ** 2)
+
+    g = jax.grad(loss)(params, xs)
+    def loss_ref(p, xv):
+        return jnp.sum(ref.apply({"params": p}, xv) ** 2)
+    g_ref = jax.grad(loss_ref)(params, x)
+    ga = jax.tree_util.tree_leaves(g)
+    gb = jax.tree_util.tree_leaves(g_ref)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)

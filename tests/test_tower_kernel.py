@@ -141,3 +141,35 @@ def test_layout_roundtrip():
     back = tb.from_tower_flat(flat, (5, 7, 6), 3)   # (1, C, D, H, W)
     want = jnp.transpose(x[0], (3, 0, 1, 2))[None]
     np.testing.assert_allclose(np.asarray(back), np.asarray(want))
+
+
+@pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
+@pytest.mark.parametrize("use_resize", [True, False])
+def test_model_fused_path_matches_module(monkeypatch, transform,
+                                         use_resize):
+    """NeuralOperatorSeg(use_pallas=True) == module path with identical
+    params (TPU gate bypassed; kernels run in interpret mode)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 11, 9))
+                    .astype(np.float32))
+    kw = dict(use_resize=use_resize)
+    ref = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                          transform, **kw)
+    fused = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                            transform, use_pallas=True,
+                                            **kw)
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    # identical parameter trees (checkpoints interchangeable)
+    p2 = fused.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    want = ref.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
