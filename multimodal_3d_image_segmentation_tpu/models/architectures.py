@@ -353,12 +353,24 @@ class NeuralOperatorSeg(_TransSegBase):
         spec = tb.make_tower_spec(self.transform_type, sizes, modes,
                                   self.filters)
         f = tb.entry_forward_hw(x_flat, spec)
-        for i in range(self.num_transform_blocks):
-            op, w_cat, w_cc_t, b_cat = _TowerBlockParams(
-                self.filters, self.transform_type, name=f"layers_{i}")()
-            z = tb.block_spectrum_update(f, op, spec)
-            x_flat, f = tb.fused_tower_block(
-                x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+
+        blocks = [_TowerBlockParams(self.filters, self.transform_type,
+                                    name=f"layers_{i}")()
+                  for i in range(self.num_transform_blocks)]
+        # one scan over stacked per-block weights: a single traced block
+        # body (and a single Mosaic kernel compile) instead of 24
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *blocks)
+
+        def body(carry, wts):
+            xf, fv = carry
+            op, w_cat, w_cc_t, b_cat = wts
+            z = tb.block_spectrum_update(fv, op, spec)
+            xf, fv = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
+                                          spec, interpret)
+            return (xf, fv), None
+
+        (x_flat, f), _ = jax.lax.scan(body, (x_flat, f), stacked)
 
         kern = _Conv1x1Weight(self.out_channels, self.filters, True,
                               name="conv_out")()
