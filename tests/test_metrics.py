@@ -270,3 +270,34 @@ def test_surfel_2d_closed_forms_and_rotation():
     assert compute_surface_dice_at_tolerance(d, 1.0) == pytest.approx(1.0)
     assert surface_dice_binary(a, a, (1.0, 1.0)) == 1.0
     assert np.isfinite(hd95_binary(a, b, (1.0, 1.0)))
+
+
+def test_surface_metrics_regression_fixture():
+    """Committed regression pin: 12 precomputed (mask-pair -> surface
+    Dice / HD95 / HD100) cases over varied shapes/spacings. Guards the
+    constructive surfel model against accidental changes; the
+    surface-distance package cross-check above remains the external
+    oracle when the package is installable."""
+    import json
+    import os
+    from multimodal_3d_image_segmentation_tpu.metrics import (
+        compute_robust_hausdorff, compute_surface_dice_at_tolerance,
+        compute_surface_distances)
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "surface_metrics_golden.json")
+    with open(path) as f:
+        fixture = json.load(f)
+    rng = np.random.default_rng(42)
+    for case in fixture["cases"]:
+        shape = tuple(case["shape"])
+        a = rng.random(shape) > case["threshold"]
+        b = rng.random(shape) > case["threshold"]
+        d = compute_surface_distances(a, b, tuple(case["spacing"]))
+        np.testing.assert_allclose(
+            compute_surface_dice_at_tolerance(d, case["tolerance_mm"]),
+            case["surface_dice"], rtol=1e-12)
+        np.testing.assert_allclose(compute_robust_hausdorff(d, 95),
+                                   case["hd95"], rtol=1e-12)
+        np.testing.assert_allclose(compute_robust_hausdorff(d, 100),
+                                   case["hd100"], rtol=1e-12)

@@ -64,12 +64,16 @@ def main():
     check("HNOSegXS flagship depth (chaotic; see docstring)",
           models.HNOSegXS(**kw), (1, 4, 120, 120, 78))
 
-    check("NeuralOperatorSeg Fourier",
-          models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), "Fourier"),
-          (1, 4, 64, 64, 40))
-    check("NeuralOperatorSeg Hartley",
-          models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), "Hartley"),
-          (1, 4, 64, 64, 40))
+    for tt in ("Fourier", "Hartley"):
+        check(f"NeuralOperatorSeg {tt}",
+              models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), tt),
+              (1, 4, 64, 64, 40))
+        check(f"NeuralOperatorSeg {tt} fused tower (use_pallas)",
+              models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8), tt,
+                                       use_pallas=True),
+              (1, 4, 64, 64, 40),
+              cpu_model=models.NeuralOperatorSeg(4, 4, 12, 4, (6, 8, 8),
+                                                 tt))
     check("HartleyMHASeg",
           models.HartleyMHASeg(4, 4, 12, 2, 2, (8, 8, 8), 2),
           (1, 4, 64, 64, 64))
