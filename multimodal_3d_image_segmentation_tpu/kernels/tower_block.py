@@ -84,14 +84,16 @@ class TowerSpec(NamedTuple):
     kd: int                         # spectrum depth size (2*md)
     kh: int                         # 2*mh
     kw: int                         # 2*mw (Hartley) or mw (Fourier rfft)
+    n_ds: int                       # deep-supervision rows in w_cat (0=off)
 
 
-def make_tower_spec(transform: str, sizes, modes, channels) -> TowerSpec:
+def make_tower_spec(transform: str, sizes, modes, channels,
+                    n_ds: int = 0) -> TowerSpec:
     d, h, w = (int(s) for s in sizes)
     md, mh, mw = (int(m) for m in modes)
     kw = 2 * mw if transform == "Hartley" else mw
     return TowerSpec(transform, (d, h, w), (md, mh, mw), int(channels),
-                     _ceil128(h), 2 * md, 2 * mh, kw)
+                     _ceil128(h), 2 * md, 2 * mh, kw, int(n_ds))
 
 
 @functools.lru_cache(maxsize=32)
@@ -219,7 +221,8 @@ def _maybe_pack(x, axis, packed):
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                   mwi_c, mwi_s, mhi_a, mhi_b, mhf_c, mhf_s, mwf_c, mwf_s,
-                  out_ref, f_ref, *, spec: TowerSpec, packed: bool):
+                  out_ref, f_ref, *maybe_ds_ref, spec: TowerSpec,
+                  packed: bool):
     c = spec.channels
     _, h, w = spec.sizes
     hl, kh, kw = spec.hl, spec.kh, spec.kw
@@ -240,7 +243,14 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
     # ---- tail: p/q one packed dot on x; t = selu(y1+p); out = selu(...)
     x = x_ref[0]                                   # (C, NPL)
     xp = _maybe_pack(x, 0, packed)
-    pq = _kdot(wp1_ref[...], xp) + bias_ref[...]   # (2C, NPL) f32
+    pq = _kdot(wp1_ref[...], xp)                   # (2C [+n_ds], NPL) f32
+    if spec.n_ds:
+        # deep-supervision projection of THIS block's input rides the
+        # same packed dot (rows beyond 2C); no bias (conv_ds bias is
+        # applied once on the accumulated sum)
+        maybe_ds_ref[0][0] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
+        pq = pq[:2 * c]
+    pq = pq + bias_ref[...]
     t = _selu(y1.reshape(c, npl) + pq[:c])
     tp = _maybe_pack(t, 0, packed)
     o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
@@ -277,7 +287,7 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                             lambda i, nd=m.ndim: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    out, f = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(d,),
         in_specs=[
@@ -293,14 +303,16 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, c, kh, kw), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, spec.n_ds, npl), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_shape=[
             jax.ShapeDtypeStruct((d, c, npl), dtype),
             jax.ShapeDtypeStruct((d, 2, c, kh, kw), jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
+             if spec.n_ds else []),
         interpret=interpret,
     )(x_flat, z, wp1, wp2, bias, *mat_args)
-    return out, f
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -423,13 +435,20 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
     y1 = y1.reshape(d, c, w * hl)
 
     pq = jnp.einsum("dcn,oc->don", x_flat, w_cat.astype(dt),
-                    precision=prec) + b_cat.astype(dt)[None, :, None]
+                    precision=prec)
+    ds = None
+    if spec.n_ds:
+        ds = pq[:, 2 * c:]
+        pq = pq[:, :2 * c]
+    pq = pq + b_cat.astype(dt)[None, :, None]
     t = jax.nn.selu(y1 + pq[:, :c])
     o = jax.nn.selu(
         jnp.einsum("dcn,oc->don", t, w_cc_t.astype(dt), precision=prec)
         + pq[:, c:])
 
     f = entry_forward_hw(o, spec)
+    if spec.n_ds:
+        return o, f, ds
     return o, f
 
 
@@ -445,15 +464,18 @@ def fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
         x_flat: (D, C, W*HL) block input volume.
         z: (D, 2, C, KH, KW) inverse-D-stage pre-images
             (``d_stage_inverse`` of the mixed spectrum).
-        w_cat: (2C, C) stacked [conv_branch ; conv_concat-x] matrices.
+        w_cat: (2C + n_ds, C) stacked [conv_branch ; conv_concat-x ;
+            deep-supervision rows for THIS block's input] matrices.
         w_cc_t: (C, C) conv_concat matrix for the activated branch.
         b_cat: (2C,) stacked [conv_branch bias or zeros ; conv_concat bias].
         spec: TowerSpec (static).
         interpret: run the Pallas interpreter (CPU tests).
 
     Returns:
-        out_flat (D, C, W*HL) and f_next (D, 2, C, KH, KW) — the forward
-        H/W partial spectra of out (feed ``block_spectrum_update``).
+        out_flat (D, C, W*HL), f_next (D, 2, C, KH, KW) — the forward
+        H/W partial spectra of out (feed ``block_spectrum_update``) —
+        and, when ``spec.n_ds``, ds (D, n_ds, W*HL): the bias-free
+        deep-supervision projection of x_flat (rides the packed dot).
     """
     return _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
 

@@ -164,6 +164,34 @@ class HartleyMHABlock(nn.Module, _TransBlockMixin):
 class _TransSegBase(nn.Module):
     """Shared tower forward (reference ``nets/architectures.py:282-353``)."""
 
+    def _fused_entry(self, x):
+        """conv_in (+ SELU) and conv1 into the tower flat layout:
+        channel-first (1, C, D, H, W) -> ((D, F, W*HL), tower sizes)."""
+        from ..kernels import tower_block as tb
+        from .hnosegxs import _FlatConcatConv
+        if self.use_resize:
+            x_flat, sizes = _TowerConvIn(self.filters, x.shape[1],
+                                         name="conv_in")(x)
+        else:
+            d, h, w = x.shape[2:]
+            hl = tb._ceil128(h)
+            xt = jnp.transpose(x[0], (1, 0, 3, 2))   # (D, C, W, H)
+            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, hl - h)))
+            x_flat = xt.reshape(d, x.shape[1], w * hl)
+            sizes = (d, h, w)
+        x_flat = _FlatConcatConv(self.filters, x_flat.shape[1],
+                                 name="conv1")((x_flat,))
+        return x_flat, sizes
+
+    def _fused_exit(self, x_flat, sizes, image_size, in_dtype):
+        from ..kernels import tower_block as tb
+        x = tb.from_tower_flat(x_flat, sizes, self.out_channels)
+        if self.use_resize:
+            x = resize_linear(x, image_size, channel_first=True)
+        x = spatial_padcrop(x, image_size, channel_first=True)
+        x = x.astype(in_dtype)
+        return _apply_output_activation(x, self.output_activation, axis=1)
+
     def _tower(self, x, make_block):
         snn = is_selu(self.activation)
         in_dtype = x.dtype
@@ -322,12 +350,11 @@ class NeuralOperatorSeg(_TransSegBase):
                 and is_selu(self.activation)
                 and self.use_block_skip and self.use_block_concat
                 and not self.use_bias_conv_branch
-                and not self.use_deep_supervision
                 and jax.default_backend() == "tpu")
 
     def _fused_tower_forward(self, x_cf):
         from ..kernels import tower_block as tb
-        from .hnosegxs import _Conv1x1Weight, _FlatConcatConv
+        from .hnosegxs import _Conv1x1Weight
         from ..ops.spectral import clip_modes, normalize_modes
 
         interpret = jax.default_backend() != "tpu"
@@ -335,55 +362,66 @@ class NeuralOperatorSeg(_TransSegBase):
         x = x_cf.astype(self.compute_dtype)
         image_size = x.shape[2:]
 
-        if self.use_resize:
-            x_flat, sizes = _TowerConvIn(self.filters, x.shape[1],
-                                         name="conv_in")(x)
-        else:
-            d, h, w = x.shape[2:]
-            hl = tb._ceil128(h)
-            xt = jnp.transpose(x[0], (1, 0, 3, 2))   # (D, C, W, H)
-            xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, hl - h)))
-            x_flat = xt.reshape(d, x.shape[1], w * hl)
-            sizes = (d, h, w)
-
-        x_flat = _FlatConcatConv(self.filters, x_flat.shape[1],
-                                 name="conv1")((x_flat,))
-
+        x_flat, sizes = self._fused_entry(x)
+        n_ds = self.out_channels if self.use_deep_supervision else 0
         modes = clip_modes(normalize_modes(self.num_modes, 3), sizes)
         spec = tb.make_tower_spec(self.transform_type, sizes, modes,
-                                  self.filters)
+                                  self.filters, n_ds=n_ds)
         f = tb.entry_forward_hw(x_flat, spec)
 
+        n_blocks = self.num_transform_blocks
         blocks = [_TowerBlockParams(self.filters, self.transform_type,
                                     name=f"layers_{i}")()
-                  for i in range(self.num_transform_blocks)]
+                  for i in range(n_blocks)]
+        if n_ds:
+            fan_in = self.filters * (n_blocks + 1)
+            kds, bds = _CCHolder(self.out_channels, fan_in,
+                                 name="conv_ds")()
+            mds = kds.reshape(fan_in, self.out_channels)
+            c = self.filters
+            blocks = [(op, jnp.concatenate(
+                          [w_cat, mds[i * c:(i + 1) * c].T], axis=0),
+                       w_cc_t, b_cat)
+                      for i, (op, w_cat, w_cc_t, b_cat)
+                      in enumerate(blocks)]
+
         # one scan over stacked per-block weights: a single traced block
         # body (and a single Mosaic kernel compile) instead of 24
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *blocks)
 
         def body(carry, wts):
-            xf, fv = carry
+            xf, fv, ds = carry
             op, w_cat, w_cc_t, b_cat = wts
             z = tb.block_spectrum_update(fv, op, spec)
-            xf, fv = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
-                                          spec, interpret)
-            return (xf, fv), None
+            res = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
+                                       spec, interpret)
+            xf, fv = res[0], res[1]
+            if n_ds:
+                ds = ds + res[2]
+            return (xf, fv, ds), None
 
-        (x_flat, f), _ = jax.lax.scan(body, (x_flat, f), stacked)
+        d = sizes[0]
+        npl = x_flat.shape[-1]
+        ds0 = jnp.zeros((d, max(n_ds, 1), npl), jnp.float32)
+        (x_flat, f, ds), _ = jax.lax.scan(body, (x_flat, f, ds0), stacked)
 
-        kern = _Conv1x1Weight(self.out_channels, self.filters, True,
+        if n_ds:
+            # the last block's output is the final deep-supervision leg
+            last = mds[n_blocks * self.filters:]
+            ds = ds + jnp.einsum("dcn,co->don",
+                                 x_flat.astype(jnp.float32), last,
+                                 precision=_prec(jnp.float32))
+            ds = ds + bds.astype(jnp.float32)[None, :, None]
+            x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
+
+        kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
                               name="conv_out")()
-        mat = kern.reshape(self.filters, self.out_channels)
+        mat = kern.reshape(x_flat.shape[1], self.out_channels)
         x_flat = jnp.einsum("dcn,co->don", x_flat, mat.astype(x_flat.dtype),
                             precision=_prec(x_flat.dtype))
 
-        x = tb.from_tower_flat(x_flat, sizes, self.out_channels)
-        if self.use_resize:
-            x = resize_linear(x, image_size, channel_first=True)
-        x = spatial_padcrop(x, image_size, channel_first=True)
-        x = x.astype(in_dtype)
-        return _apply_output_activation(x, self.output_activation, axis=1)
+        return self._fused_exit(x_flat, sizes, image_size, in_dtype)
 
     @nn.compact
     def __call__(self, x):
@@ -408,9 +446,48 @@ class NeuralOperatorSeg(_TransSegBase):
         return x
 
 
+class _MHATowerBlock(nn.Module):
+    """Fused HartleyMHA tower block's spectrum update + param holders.
+    Tree identical to HartleyMHABlock (``<name>/op`` = the real
+    HartleyMultiHeadAttention module in its ``use_transform=False``
+    frequency-resident mode, plus the conv_branch / conv_concat
+    holders)."""
+    channels: int
+    num_heads: int
+    num_modes: Union[int, Sequence[int]]
+    patch_size: Optional[Union[int, Sequence[int]]]
+    attention_activation: Union[str, Callable, None]
+
+    @nn.compact
+    def __call__(self, s_cl):
+        from .hnosegxs import _Conv1x1Weight
+        c = self.channels
+        # NOTE snn_init=False: the reference SNN re-init skips MHA
+        # projections (see HartleyMHABlock above)
+        y_cl = HartleyMultiHeadAttention(
+            c, c, self.num_heads, self.num_modes,
+            patch_size=self.patch_size,
+            attention_activation=self.attention_activation,
+            use_transform=False, snn_init=False, name="op")(s_cl)
+        conv_b = _Conv1x1Weight(c, c, True, name="conv_branch")()
+        cc_k, cc_b = _CCHolder(c, 2 * c, name="conv_concat")()
+        mat_conv = conv_b.reshape(c, c)
+        mat_cc = cc_k.reshape(2 * c, c)
+        w_cat = jnp.concatenate([mat_conv.T, mat_cc[c:].T], axis=0)
+        w_cc_t = mat_cc[:c].T
+        b_cat = jnp.concatenate([jnp.zeros_like(cc_b), cc_b])
+        return y_cl, w_cat, w_cc_t, b_cat
+
+
 class HartleyMHASeg(_TransSegBase):
     """HartleyMHA architecture (reference
-    ``nets/architectures.py:432-508``)."""
+    ``nets/architectures.py:432-508``).
+
+    ``use_pallas``: the MHA tower shares the tower block's full-res
+    structure (DHT -> spectrum op -> inverse -> conv branch -> concat
+    skip), so the same fused Pallas kernel applies — only the
+    between-kernel spectrum update differs (the real
+    HartleyMultiHeadAttention module in frequency-resident mode)."""
     in_channels: int
     out_channels: int
     filters: int
@@ -429,10 +506,94 @@ class HartleyMHASeg(_TransSegBase):
     ndim: int = 5
     channel_first_io: bool = True
     compute_dtype: str = "float32"
+    use_pallas: bool = False
+
+    def _use_fused_tower(self, x_cf):
+        from ..ops.spectral import normalize_modes
+        if not (self.use_pallas and self.ndim == 5
+                and self.channel_first_io and x_cf.shape[0] == 1
+                and is_selu(self.activation)
+                and self.use_block_skip and self.use_block_concat
+                and not self.use_bias_conv_branch
+                and jax.default_backend() == "tpu"):
+            return False
+        # MHA does not clip modes (reference asserts instead); only
+        # fuse when the tower grid fits the requested modes
+        d, h, w = x_cf.shape[2:]
+        if self.use_resize:
+            d, h, w = d // 2 + 1, h // 2 + 1, w // 2 + 1
+        modes = normalize_modes(self.num_modes, 3)
+        return all(s >= 2 * m for s, m in zip((d, h, w), modes))
+
+    def _fused_mha_forward(self, x_cf):
+        from ..kernels import tower_block as tb
+        from .hnosegxs import _Conv1x1Weight
+        from ..ops.spectral import normalize_modes
+
+        interpret = jax.default_backend() != "tpu"
+        in_dtype = x_cf.dtype
+        x = x_cf.astype(self.compute_dtype)
+        image_size = x.shape[2:]
+
+        x_flat, sizes = self._fused_entry(x)
+        n_ds = self.out_channels if self.use_deep_supervision else 0
+        modes = normalize_modes(self.num_modes, 3)
+        spec = tb.make_tower_spec("Hartley", sizes, modes, self.filters,
+                                  n_ds=n_ds)
+        f = tb.entry_forward_hw(x_flat, spec)
+
+        n_blocks = self.num_transform_blocks
+        mds = bds = None
+        if n_ds:
+            fan_in = self.filters * (n_blocks + 1)
+            kds, bds = _CCHolder(self.out_channels, fan_in,
+                                 name="conv_ds")()
+            mds = kds.reshape(fan_in, self.out_channels)
+
+        d = sizes[0]
+        npl = x_flat.shape[-1]
+        ds = jnp.zeros((d, max(n_ds, 1), npl), jnp.float32)
+        c = self.filters
+        # unrolled (flax modules per block); the pallas kernel is
+        # identical across blocks so Mosaic compiles once
+        for i in range(n_blocks):
+            s = tb.d_stage_forward(f, spec)           # (KD, C, KH, KW)
+            s_cl = jnp.transpose(s, (0, 2, 3, 1))[None]
+            y_cl, w_cat, w_cc_t, b_cat = _MHATowerBlock(
+                c, self.num_heads, self.num_modes, self.patch_size,
+                self.attention_activation, name=f"layers_{i}")(s_cl)
+            y = jnp.transpose(y_cl[0], (0, 3, 1, 2))
+            z = tb.d_stage_inverse(y, spec)
+            if n_ds:
+                w_cat = jnp.concatenate(
+                    [w_cat, mds[i * c:(i + 1) * c].T], axis=0)
+            res = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat,
+                                       spec, interpret)
+            x_flat, f = res[0], res[1]
+            if n_ds:
+                ds = ds + res[2]
+
+        if n_ds:
+            last = mds[n_blocks * c:]
+            ds = ds + jnp.einsum("dcn,co->don",
+                                 x_flat.astype(jnp.float32), last,
+                                 precision=_prec(jnp.float32))
+            ds = ds + bds.astype(jnp.float32)[None, :, None]
+            x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
+
+        kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
+                              name="conv_out")()
+        mat = kern.reshape(x_flat.shape[1], self.out_channels)
+        x_flat = jnp.einsum("dcn,co->don", x_flat,
+                            mat.astype(x_flat.dtype),
+                            precision=_prec(x_flat.dtype))
+        return self._fused_exit(x_flat, sizes, image_size, in_dtype)
 
     @nn.compact
     def __call__(self, x):
         assert self.ndim in (4, 5)
+        if self.channel_first_io and self._use_fused_tower(x):
+            return self._fused_mha_forward(x)
         if self.channel_first_io:
             x = _to_channels_last(x)
 

@@ -173,3 +173,59 @@ def test_model_fused_path_matches_module(monkeypatch, transform,
     got = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
+def test_model_fused_deep_supervision_matches_module(monkeypatch,
+                                                     transform):
+    """use_deep_supervision rides the kernel's packed dot (extra w_cat
+    rows) + scan-carried accumulator; values match the module path."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 11, 9))
+                    .astype(np.float32))
+    kw = dict(use_deep_supervision=True)
+    ref = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                          transform, **kw)
+    fused = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                            transform, use_pallas=True,
+                                            **kw)
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    p2 = fused.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    want = ref.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("patch", [None, 2])
+def test_model_fused_mha_matches_module(monkeypatch, patch):
+    """HartleyMHASeg(use_pallas=True): the shared fused kernel + the real
+    MHA module as the spectrum update matches the module path."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.HartleyMHASeg, "_use_fused_tower",
+        lambda self, x: self.use_pallas and x.shape[0] == 1)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 12, 10))
+                    .astype(np.float32))
+    kw = dict(patch_size=patch)
+    ref = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2), **kw)
+    fused = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2),
+                                        use_pallas=True, **kw)
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    p2 = fused.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    want = ref.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
