@@ -70,6 +70,8 @@ def main(_retries=2):
 
 
 def _main():
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from multimodal_3d_image_segmentation_tpu import models
     from multimodal_3d_image_segmentation_tpu.ops import spectral
 

@@ -111,3 +111,19 @@ def timed_loop_ms(fn: Callable, x, n_short: int = 2, n_long: int = 10,
         float(long(x))
         tl.append(time.perf_counter() - t0)
     return float((np.median(tl) - np.median(ts)) / (n_long - n_short) * 1e3)
+
+
+def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
+    """Persistent executable cache across processes.
+
+    Remote compiles through this environment's relay cost tens of seconds
+    to minutes per executable; the cache makes warm re-runs (bench
+    retries, repeated tools) skip them entirely. Call before the first
+    trace.
+    """
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without the knobs: cache is an optimization only

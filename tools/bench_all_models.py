@@ -38,6 +38,8 @@ CONFIGS = {
 
 
 def main(artifact=False):
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     # the shipped configs run serving precision ('high') for the fp32
     # transform matmuls — measure what users get
     from multimodal_3d_image_segmentation_tpu.ops import spectral

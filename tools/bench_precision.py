@@ -125,6 +125,8 @@ def evaluate(params, mode):
 
 
 def main():
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", action="store_true")
     args = ap.parse_args()

@@ -3,14 +3,14 @@
 Two measurement modes:
 
   * device step time at the BraTS'23 training resolution 120x120x78
-    (fp32 and bf16), on whatever backend JAX selects (the TPU chip);
-  * data-parallel collective overhead on a virtual CPU mesh: the SAME
-    global batch run unsharded (1 device) vs sharded over n devices.
-    Virtual devices share physical cores, so total work is constant and
-    the ratio isolates the cost XLA's inserted collectives add to the
-    step — the only DP quantity honestly measurable without real chips
-    (true weak/strong scaling needs hardware; virtual-device "scaling"
-    numbers only measure core oversubscription).
+    (fp32 and bf16, module and use_pallas kernel paths), on whatever
+    backend JAX selects (the TPU chip);
+  * data-parallel collective BYTES from the compiled HLO on a virtual
+    CPU mesh (+ a one-step execution as a correctness check). This
+    replaces round 2's sharded-vs-unsharded timing ratio, which on a
+    1-core host measured scheduler artifacts, not collective overhead;
+    real DP cost = collective_bytes / ICI bandwidth (true scaling needs
+    hardware).
 
 ``python tools/bench_train.py --artifact`` regenerates the committed
 ``BENCH_TRAIN.json`` at the repo root (VERDICT r1 item 9: training-perf
@@ -91,6 +91,8 @@ def _timed_step_ms(state, x, one_step, repeats=3):
 
 
 def bench_device(compute_dtype, use_pallas=False):
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     state, x, one_step = _build(compute_dtype, SHAPE, use_pallas=use_pallas)
     ms = _timed_step_ms(state, x, one_step)

@@ -50,6 +50,8 @@ def check(name, model, shape, seed=0, bf16_model=None, cpu_model=None):
 
 
 def main():
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     kw2 = dict(in_channels=4, out_channels=4, filters=24,
                num_transform_blocks=[3] * 2, num_modes=(10, 14, 14))
     check("HNOSegXS shallow (2 blocks)",
