@@ -229,3 +229,40 @@ def test_model_fused_mha_matches_module(monkeypatch, patch):
     got = fused.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_fused_tower_train_step(monkeypatch):
+    """A real train step (value_and_grad + Adamax) through the fused
+    tower (scan + custom VJP): loss matches the module path and grads
+    are finite."""
+    from multimodal_3d_image_segmentation_tpu import losses
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    from multimodal_3d_image_segmentation_tpu.runtime import (
+        build_optimizer, create_train_state, make_train_step)
+
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((1, 2, 10, 9, 8))
+                    .astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (1, 1, 10, 9, 8)).astype(np.int32))
+    ref = architectures.NeuralOperatorSeg(2, 3, 4, 2, (2, 2, 2), "Hartley")
+    fused = architectures.NeuralOperatorSeg(2, 3, 4, 2, (2, 2, 2),
+                                            "Hartley", use_pallas=True)
+    params = ref.init(jax.random.PRNGKey(0), x)["params"]
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    step = make_train_step(losses.pcc_loss, num_labels=3, donate=False)
+
+    s_ref = create_train_state(ref, params, tx)
+    s_fused = create_train_state(fused, params, tx)
+    s_ref2, loss_ref = step(s_ref, x, y)
+    s_fused2, loss_fused = step(s_fused, x, y)
+    np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_fused2.params),
+                    jax.tree_util.tree_leaves(s_ref2.params)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-2)
