@@ -279,7 +279,7 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
     dtype = x_flat.dtype
     packed = dtype == jnp.float32
 
-    mat_args = [jnp.asarray(m) for m in _kernel_mats(spec, packed)]
+    mat_args = list(_kernel_mats(spec, packed))  # numpy: no device consts
     kernel = functools.partial(_tower_kernel, spec=spec, packed=packed)
 
     def _full(m):
@@ -328,11 +328,11 @@ def d_stage_forward(f, spec: TowerSpec):
     dt = f.dtype
     prec = _prec(dt)
     mats = _spec_mats(spec)
-    cd = jnp.asarray(mats["md_fwd"][0], dt)
-    sd = jnp.asarray(mats["md_fwd"][1], dt)
+    cd = np.asarray(mats["md_fwd"][0], dt)
+    sd = np.asarray(mats["md_fwd"][1], dt)
     if spec.transform == "Hartley":
         # fold: sum_d re*(C-S) - im*(C+S)
-        m = jnp.stack([cd - sd, -(cd + sd)], axis=1)     # (D, 2, KD)
+        m = np.stack([cd - sd, -(cd + sd)], axis=1)     # (D, 2, KD)
         return jnp.einsum("dqcxy,dqk->kcxy", f, m, precision=prec)
     re = jnp.einsum("dcxy,dk->kcxy", f[:, 0], cd, precision=prec) \
         - jnp.einsum("dcxy,dk->kcxy", f[:, 1], sd, precision=prec)
@@ -346,11 +346,11 @@ def d_stage_inverse(s, spec: TowerSpec):
     dt = s.dtype
     prec = _prec(dt)
     mats = _spec_mats(spec)
-    cdi = jnp.asarray(mats["md_inv"][0], dt)
-    sdi = jnp.asarray(mats["md_inv"][1], dt)
+    cdi = np.asarray(mats["md_inv"][0], dt)
+    sdi = np.asarray(mats["md_inv"][1], dt)
     if spec.transform == "Hartley":
         # 'first': real -> complex, e^{-i theta}
-        m = jnp.stack([cdi, sdi], axis=-1)               # (KD, D, 2)
+        m = np.stack([cdi, sdi], axis=-1)               # (KD, D, 2)
         return jnp.einsum("kcxy,kdq->dqcxy", s, m, precision=prec)
     re, im = s[0], s[1]
     zre = jnp.einsum("kcxy,kd->dcxy", re, cdi, precision=prec) \
@@ -392,12 +392,12 @@ def entry_forward_hw(x_flat, spec: TowerSpec):
     prec = _prec(dt)
     mats = _spec_mats(spec)
     x4 = x_flat.reshape(d, c, w, spec.hl)
-    ch = jnp.asarray(mats["mh_fwd"][0], dt)
-    sh = jnp.asarray(mats["mh_fwd"][1], dt)
+    ch = np.asarray(mats["mh_fwd"][0], dt)
+    sh = np.asarray(mats["mh_fwd"][1], dt)
     fre = jnp.einsum("dcwh,hk->dcwk", x4, ch, precision=prec)
     fim = jnp.einsum("dcwh,hk->dcwk", x4, sh, precision=prec)
-    cw = jnp.asarray(mats["mw_fwd"][0], dt)
-    sw = jnp.asarray(mats["mw_fwd"][1], dt)
+    cw = np.asarray(mats["mw_fwd"][0], dt)
+    sw = np.asarray(mats["mw_fwd"][1], dt)
     gre = jnp.einsum("dcwk,wj->dckj", fre, cw, precision=prec) \
         - jnp.einsum("dcwk,wj->dckj", fim, sw, precision=prec)
     gim = jnp.einsum("dcwk,wj->dckj", fre, sw, precision=prec) \
@@ -421,15 +421,15 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
     prec = _prec(dt)
     mats = _spec_mats(spec)
 
-    cwi = jnp.asarray(mats["mw_inv"][0], dt)
-    swi = jnp.asarray(mats["mw_inv"][1], dt)
+    cwi = np.asarray(mats["mw_inv"][0], dt)
+    swi = np.asarray(mats["mw_inv"][1], dt)
     zre, zim = z[:, 0], z[:, 1]                   # (D, C, KH, KW)
     yre = jnp.einsum("dcxj,jw->dcxw", zre, cwi, precision=prec) \
         - jnp.einsum("dcxj,jw->dcxw", zim, swi, precision=prec)
     yim = jnp.einsum("dcxj,jw->dcxw", zre, swi, precision=prec) \
         + jnp.einsum("dcxj,jw->dcxw", zim, cwi, precision=prec)
-    mha = jnp.asarray(mats["mh_inv"][0], dt)
-    mhb = jnp.asarray(mats["mh_inv"][1], dt)
+    mha = np.asarray(mats["mh_inv"][0], dt)
+    mhb = np.asarray(mats["mh_inv"][1], dt)
     y1 = jnp.einsum("dcxw,xh->dcwh", yre, mha, precision=prec) \
         + jnp.einsum("dcxw,xh->dcwh", yim, mhb, precision=prec)
     y1 = y1.reshape(d, c, w * hl)

@@ -220,7 +220,9 @@ def _stage_matrix(c, s, kind, dtype, final_weights=None):
     Hermitian rfft completion).
     """
     if kind == "fold" and final_weights is not None:
-        return jnp.asarray(np.stack(final_weights, axis=1), dtype)
+        # numpy constants: eager device constants would need a
+        # device->host readback at lowering (slow/flaky relay)
+        return np.asarray(np.stack(final_weights, axis=1), dtype)
     c = np.asarray(c)
     s = np.asarray(s)
     if kind == "first":
@@ -233,7 +235,7 @@ def _stage_matrix(c, s, kind, dtype, final_weights=None):
         m = c - s
     else:
         raise ValueError(kind)
-    return jnp.asarray(m, dtype)
+    return np.asarray(m, dtype)
 
 
 def _axis_order(pairs, forward):
@@ -456,7 +458,7 @@ def extended_to_packed(x: jax.Array, axes: Sequence[int]) -> jax.Array:
             continue
         m = (x.shape[ax] - 1) // 2
         idx = np.concatenate([np.arange(m), np.arange(m + 1, 2 * m + 1)])
-        x = jnp.take(x, jnp.asarray(idx), axis=ax)
+        x = jnp.take(x, idx, axis=ax)
     return x
 
 
@@ -469,7 +471,7 @@ def extended_reverse(x: jax.Array, axes: Sequence[int]) -> jax.Array:
             x = jnp.roll(jnp.flip(x, ax), 1, ax)
         else:
             m = (x.shape[ax] - 1) // 2
-            x = jnp.take(x, jnp.asarray(extended_reverse_perm(m)), axis=ax)
+            x = jnp.take(x, extended_reverse_perm(m), axis=ax)
     return x
 
 
@@ -499,7 +501,7 @@ def dht_crop_flat(x_flat: jax.Array, g, modes: Sequence[int]) -> jax.Array:
     c1, s1 = _dft_mats_np(g.d, md, True, False, -1)
     m1 = np.zeros((g.dp, 2 * md, 2), np.float64)
     m1[1:g.d + 1] = np.stack([c1, s1], axis=-1)    # zero rows at D pads
-    y = jnp.einsum("dcn,dkq->kqcn", x_flat, jnp.asarray(m1, dt),
+    y = jnp.einsum("dcn,dkq->kqcn", x_flat, np.asarray(m1, dt),
                    precision=_prec(dt))
     # unflatten the plane and slice the (possibly dirty) borders — exact
     nc = x_flat.shape[1]
