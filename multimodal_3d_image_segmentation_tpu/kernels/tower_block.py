@@ -84,6 +84,11 @@ class TowerSpec(NamedTuple):
     kd: int                         # spectrum depth size (2*md)
     kh: int                         # 2*mh
     kw: int                         # 2*mw (Hartley) or mw (Fourier rfft)
+    kwl: int                        # kw lane-padded to 128 (DMA efficiency:
+                                    # 28-float rows move at ~22 GB/s through
+                                    # the DMA engines; 128-lane rows at full
+                                    # bandwidth. The pad fuses into the XLA
+                                    # producers/consumers.)
     n_ds: int                       # deep-supervision rows in w_cat (0=off)
 
 
@@ -93,7 +98,8 @@ def make_tower_spec(transform: str, sizes, modes, channels,
     md, mh, mw = (int(m) for m in modes)
     kw = 2 * mw if transform == "Hartley" else mw
     return TowerSpec(transform, (d, h, w), (md, mh, mw), int(channels),
-                     _ceil128(h), 2 * md, 2 * mh, kw, int(n_ds))
+                     _ceil128(h), 2 * md, 2 * mh, kw, _ceil128(kw),
+                     int(n_ds))
 
 
 @functools.lru_cache(maxsize=32)
@@ -149,8 +155,10 @@ def _spec_mats(spec: TowerSpec):
 
     return {
         "mh_fwd": (pad_rows(ch, spec.hl), pad_rows(sh, spec.hl)),
-        "mw_fwd": (cw, sw),
-        "mw_inv": (cwi, swi),
+        # W stages padded to kwl: zero N-cols (forward) / zero K-rows
+        # (inverse) make the padded spectral lanes exact zeros
+        "mw_fwd": (pad_cols(cw, spec.kwl), pad_cols(sw, spec.kwl)),
+        "mw_inv": (pad_rows(cwi, spec.kwl), pad_rows(swi, spec.kwl)),
         "mh_inv": (pad_cols(mh_inv[0], spec.hl), pad_cols(mh_inv[1],
                                                           spec.hl)),
         "md_fwd": (cd, sd),
@@ -225,11 +233,11 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                   packed: bool):
     c = spec.channels
     _, h, w = spec.sizes
-    hl, kh, kw = spec.hl, spec.kh, spec.kw
+    hl, kh, kwl = spec.hl, spec.kh, spec.kwl
     npl = w * hl
 
     # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL)
-    z = z_ref[0].reshape(2 * c * kh, kw)
+    z = z_ref[0].reshape(2 * c * kh, kwl)
     zp = _maybe_pack(z, 1, packed)
     a = _kdot(zp, mwi_c[...]).reshape(2, c, kh, w)
     b = _kdot(zp, mwi_s[...]).reshape(2, c, kh, w)
@@ -267,14 +275,14 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
     fip = _maybe_pack(fim, 1, packed)
     gre = _kdot(frp, mwf_c[...]) - _kdot(fip, mwf_s[...])
     gim = _kdot(frp, mwf_s[...]) + _kdot(fip, mwf_c[...])
-    f_ref[0, 0] = gre.reshape(c, kh, kw).astype(f_ref.dtype)
-    f_ref[0, 1] = gim.reshape(c, kh, kw).astype(f_ref.dtype)
+    f_ref[0, 0] = gre.reshape(c, kh, kwl).astype(f_ref.dtype)
+    f_ref[0, 1] = gim.reshape(c, kh, kwl).astype(f_ref.dtype)
 
 
 def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                       interpret: bool):
     d = spec.sizes[0]
-    c, kh, kw = spec.channels, spec.kh, spec.kw
+    c, kh, kwl = spec.channels, spec.kh, spec.kwl
     npl = x_flat.shape[-1]
     dtype = x_flat.dtype
     packed = dtype == jnp.float32
@@ -293,7 +301,7 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
         in_specs=[
             pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c, kh, kw), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _full(wp1), _full(wp2), _full(bias),
             *[_full(m) for m in mat_args],
@@ -301,13 +309,13 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
         out_specs=[
             pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c, kh, kw), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec((1, spec.n_ds, npl), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_shape=[
             jax.ShapeDtypeStruct((d, c, npl), dtype),
-            jax.ShapeDtypeStruct((d, 2, c, kh, kw), jnp.float32),
+            jax.ShapeDtypeStruct((d, 2, c, kh, kwl), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
         interpret=interpret,
@@ -328,6 +336,8 @@ def d_stage_forward(f, spec: TowerSpec):
     dt = f.dtype
     prec = _prec(dt)
     mats = _spec_mats(spec)
+    if f.shape[-1] == spec.kwl and spec.kwl != spec.kw:
+        f = f[..., :spec.kw]   # fuses into the einsum reads below
     cd = np.asarray(mats["md_fwd"][0], dt)
     sd = np.asarray(mats["md_fwd"][1], dt)
     if spec.transform == "Hartley":
@@ -348,16 +358,18 @@ def d_stage_inverse(s, spec: TowerSpec):
     mats = _spec_mats(spec)
     cdi = np.asarray(mats["md_inv"][0], dt)
     sdi = np.asarray(mats["md_inv"][1], dt)
+    pad = [(0, 0)] * 4 + [(0, spec.kwl - spec.kw)]
     if spec.transform == "Hartley":
         # 'first': real -> complex, e^{-i theta}
         m = np.stack([cdi, sdi], axis=-1)               # (KD, D, 2)
-        return jnp.einsum("kcxy,kdq->dqcxy", s, m, precision=prec)
+        z = jnp.einsum("kcxy,kdq->dqcxy", s, m, precision=prec)
+        return jnp.pad(z, pad)   # kernel-facing lane pad (fused write)
     re, im = s[0], s[1]
     zre = jnp.einsum("kcxy,kd->dcxy", re, cdi, precision=prec) \
         - jnp.einsum("kcxy,kd->dcxy", im, sdi, precision=prec)
     zim = jnp.einsum("kcxy,kd->dcxy", re, sdi, precision=prec) \
         + jnp.einsum("kcxy,kd->dcxy", im, cdi, precision=prec)
-    return jnp.stack([zre, zim], axis=1)
+    return jnp.pad(jnp.stack([zre, zim], axis=1), pad)
 
 
 def block_spectrum_update(f, op_params, spec: TowerSpec):
