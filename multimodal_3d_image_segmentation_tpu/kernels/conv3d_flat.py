@@ -259,7 +259,7 @@ def _dilate_d_flat(x_flat, g_out, d_src):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
                prologue_act, interpret, dilated_depth):
-    mask = jnp.asarray(g.interior_mask())
+    mask = np.asarray(g.interior_mask())  # numpy const: no device readback at lowering
     return _conv3_flat_impl(x_flat, x2, _pack_w72(kernel), bias, mask,
                             prologue, g, precision, prologue_act, interpret,
                             dilated_depth=dilated_depth)

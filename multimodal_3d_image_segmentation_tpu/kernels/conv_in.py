@@ -253,7 +253,7 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
 
     wk = jnp.stack([jnp.stack([kernel[dz, dy, dw] for dw in range(2)])
                     for dz in range(2) for dy in range(2)])  # (4, 2, C, F)
-    msel = jnp.asarray(_build_w_select(w, w2))
+    msel = np.asarray(_build_w_select(w, w2))  # numpy const
 
     kern = functools.partial(_raw_kernel, c=c, dt=dt, gm=gm, d=d, h=h,
                              w=w, h2=h2, w2=w2, f=f, apply_selu=apply_selu,

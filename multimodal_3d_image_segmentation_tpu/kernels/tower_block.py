@@ -97,9 +97,11 @@ def make_tower_spec(transform: str, sizes, modes, channels,
     d, h, w = (int(s) for s in sizes)
     md, mh, mw = (int(m) for m in modes)
     kw = 2 * mw if transform == "Hartley" else mw
+    # kwl == kw: lane-padding the spectral tensors to 128 was measured a
+    # net LOSS (kernel-side DMA gain 0.07 ms/block vs 0.7 ms/block of
+    # XLA pad/slice traffic); the machinery stays for future use.
     return TowerSpec(transform, (d, h, w), (md, mh, mw), int(channels),
-                     _ceil128(h), 2 * md, 2 * mh, kw, _ceil128(kw),
-                     int(n_ds))
+                     _ceil128(h), 2 * md, 2 * mh, kw, kw, int(n_ds))
 
 
 @functools.lru_cache(maxsize=32)
@@ -194,13 +196,30 @@ def _pack_matrix_np(m):
 @functools.lru_cache(maxsize=32)
 def _kernel_mats(spec: TowerSpec, packed: bool):
     """bf16 device-ready stage matrices in kernel-argument order:
-    (mwi_c, mwi_s, mhi_a, mhi_b, mhf_c, mhf_s, mwf_c, mwf_s)."""
+    (mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs).
+
+    The cos/sin pairs of the W stages and the forward H stage ride as
+    one N-stacked matrix ([C | S]) so each stage is a single dot; the
+    forward H stage keeps hi/lo bf16 halves separately (3-term bf16x3
+    accumulation — K=HL stays one 128-tile per term)."""
     m = _spec_mats(spec)
-    seq = (*m["mw_inv"], *m["mh_inv"], *m["mh_fwd"], *m["mw_fwd"])
+    mwi_cs = np.concatenate(m["mw_inv"], axis=1)      # (KW, 2W)
+    mwf_cs = np.concatenate(m["mw_fwd"], axis=1)      # (W, 2KW)
+    mhf_cs = np.concatenate(m["mh_fwd"], axis=1)      # (HL, 2KH)
     if packed:
-        return tuple(_pack_matrix_np(x) for x in seq)
-    return tuple(np.asarray(x, np.float32).astype(jnp.bfloat16)
-                 for x in seq)
+        f32 = np.asarray(mhf_cs, np.float32)
+        mhf_hi = f32.astype(jnp.bfloat16)
+        mhf_lo = (f32 - np.asarray(mhf_hi, np.float32)).astype(
+            jnp.bfloat16)
+        return (_pack_matrix_np(mwi_cs),
+                _pack_matrix_np(m["mh_inv"][0]),
+                _pack_matrix_np(m["mh_inv"][1]),
+                np.asarray(mhf_hi), np.asarray(mhf_lo),
+                _pack_matrix_np(mwf_cs))
+    cast = lambda x: np.asarray(x, np.float32).astype(jnp.bfloat16)  # noqa
+    mhf = cast(mhf_cs)
+    return (cast(mwi_cs), cast(m["mh_inv"][0]), cast(m["mh_inv"][1]),
+            mhf, mhf, cast(mwf_cs))
 
 
 def _pack_weight(w, dtype):
@@ -228,55 +247,72 @@ def _maybe_pack(x, axis, packed):
 # ---------------------------------------------------------------------------
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
-                  mwi_c, mwi_s, mhi_a, mhi_b, mhf_c, mhf_s, mwf_c, mwf_s,
+                  mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
                   out_ref, f_ref, *maybe_ds_ref, spec: TowerSpec,
-                  packed: bool):
+                  packed: bool, p_planes: int):
     c = spec.channels
     _, h, w = spec.sizes
     hl, kh, kwl = spec.hl, spec.kh, spec.kwl
     npl = w * hl
 
-    # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL)
-    z = z_ref[0].reshape(2 * c * kh, kwl)
-    zp = _maybe_pack(z, 1, packed)
-    a = _kdot(zp, mwi_c[...]).reshape(2, c, kh, w)
-    b = _kdot(zp, mwi_s[...]).reshape(2, c, kh, w)
-    yre = a[0] - b[1]
-    yim = b[0] + a[1]
-    yre = jnp.swapaxes(yre, 1, 2).reshape(c * w, kh)
-    yim = jnp.swapaxes(yim, 1, 2).reshape(c * w, kh)
-    y1 = (_kdot(_maybe_pack(yre, 1, packed), mhi_a[...])
-          + _kdot(_maybe_pack(yim, 1, packed), mhi_b[...]))  # (C*W, HL) f32
+    for p in range(p_planes):  # static unroll: amortizes grid overhead
+        # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL).
+        # One N-stacked dot against [Cwi | Swi], complex combine after.
+        z = z_ref[p].reshape(2 * c * kh, kwl)
+        ab = _kdot(_maybe_pack(z, 1, packed), mwi_cs[...])  # (2CKH, 2W)
+        a = ab[:, :w].reshape(2, c, kh, w)
+        b = ab[:, w:].reshape(2, c, kh, w)
+        y = jnp.stack([a[0] - b[1], b[0] + a[1]])          # (2, C, KH, W)
+        y = jnp.swapaxes(y, 2, 3).reshape(2, c * w, kh)
+        y1 = (_kdot(_maybe_pack(y[0], 1, packed), mhi_a[...])
+              + _kdot(_maybe_pack(y[1], 1, packed), mhi_b[...]))
 
-    # ---- tail: p/q one packed dot on x; t = selu(y1+p); out = selu(...)
-    x = x_ref[0]                                   # (C, NPL)
-    xp = _maybe_pack(x, 0, packed)
-    pq = _kdot(wp1_ref[...], xp)                   # (2C [+n_ds], NPL) f32
-    if spec.n_ds:
-        # deep-supervision projection of THIS block's input rides the
-        # same packed dot (rows beyond 2C); no bias (conv_ds bias is
-        # applied once on the accumulated sum)
-        maybe_ds_ref[0][0] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
-        pq = pq[:2 * c]
-    pq = pq + bias_ref[...]
-    t = _selu(y1.reshape(c, npl) + pq[:c])
-    tp = _maybe_pack(t, 0, packed)
-    o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
-    out_ref[0] = o.astype(out_ref.dtype)
+        # ---- tail: p/q one packed dot on x; out = selu(...)
+        x = x_ref[p]                                 # (C, NPL)
+        xp = _maybe_pack(x, 0, packed)
+        pq = _kdot(wp1_ref[...], xp)                 # (2C [+n_ds], NPL)
+        if spec.n_ds:
+            # deep-supervision projection of THIS block's input rides
+            # the same packed dot (rows beyond 2C); bias-free (conv_ds
+            # bias applies once on the accumulated sum)
+            maybe_ds_ref[0][p] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
+            pq = pq[:2 * c]
+        pq = pq + bias_ref[...]
+        t = _selu(y1.reshape(c, npl) + pq[:c])
+        tp = _maybe_pack(t, 0, packed)
+        o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
+        out_ref[p] = o.astype(out_ref.dtype)
 
-    # ---- forward 2D of out: (C, NPL) -> f (2, C, KH, KW)
-    o2 = o.reshape(c, w, hl).reshape(c * w, hl)
-    op = _maybe_pack(o2, 1, packed)
-    fre = _kdot(op, mhf_c[...]).reshape(c, w, kh)
-    fim = _kdot(op, mhf_s[...]).reshape(c, w, kh)
-    fre = jnp.swapaxes(fre, 1, 2).reshape(c * kh, w)
-    fim = jnp.swapaxes(fim, 1, 2).reshape(c * kh, w)
-    frp = _maybe_pack(fre, 1, packed)
-    fip = _maybe_pack(fim, 1, packed)
-    gre = _kdot(frp, mwf_c[...]) - _kdot(fip, mwf_s[...])
-    gim = _kdot(frp, mwf_s[...]) + _kdot(fip, mwf_c[...])
-    f_ref[0, 0] = gre.reshape(c, kh, kwl).astype(f_ref.dtype)
-    f_ref[0, 1] = gim.reshape(c, kh, kwl).astype(f_ref.dtype)
+        # ---- forward 2D of out: (C, NPL) -> f (2, C, KH, KW).
+        # H 'first' as 3-term bf16x3 accumulation (K=HL stays one tile
+        # per term; no 3x lane-concat), W 'mid' as one N-stacked dot.
+        o2 = o.reshape(c, w, hl).reshape(c * w, hl)
+        if packed:
+            ohi, olo = _hi_lo(o2)
+            fcs = (_kdot(ohi, mhf_hi[...]) + _kdot(ohi, mhf_lo[...])
+                   + _kdot(olo, mhf_hi[...]))        # (CW, 2KH)
+        else:
+            fcs = _kdot(o2.astype(jnp.bfloat16), mhf_hi[...])
+        fcs = fcs.reshape(c, w, 2 * kh)
+        fcs = jnp.swapaxes(fcs, 1, 2).reshape(c * 2 * kh, w)
+        gg = _kdot(_maybe_pack(fcs, 1, packed), mwf_cs[...])  # (C2KH, 2KW)
+        ga = gg[:, :kwl].reshape(c, 2, kh, kwl)
+        gb = gg[:, kwl:].reshape(c, 2, kh, kwl)
+        gre = ga[:, 0] - gb[:, 1]
+        gim = gb[:, 0] + ga[:, 1]
+        f_ref[p, 0] = gre.astype(f_ref.dtype)
+        f_ref[p, 1] = gim.astype(f_ref.dtype)
+
+
+def _pick_p(d: int) -> int:
+    """Planes per grid step: amortize per-step pipeline overhead while
+    keeping VMEM comfortable. Partial last blocks are handled by Pallas
+    (reads padded, out-of-range writes masked; planes are independent)."""
+    if d >= 32:
+        return 8
+    if d >= 8:
+        return 4
+    return 1
 
 
 def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
@@ -286,9 +322,11 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
     npl = x_flat.shape[-1]
     dtype = x_flat.dtype
     packed = dtype == jnp.float32
+    p = _pick_p(d)
 
     mat_args = list(_kernel_mats(spec, packed))  # numpy: no device consts
-    kernel = functools.partial(_tower_kernel, spec=spec, packed=packed)
+    kernel = functools.partial(_tower_kernel, spec=spec, packed=packed,
+                               p_planes=p)
 
     def _full(m):
         return pl.BlockSpec(m.shape,
@@ -297,27 +335,29 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(d,),
+        grid=(pl.cdiv(d, p),),
         in_specs=[
-            pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
+            pl.BlockSpec((p, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((p, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _full(wp1), _full(wp2), _full(bias),
             *[_full(m) for m in mat_args],
         ],
         out_specs=[
-            pl.BlockSpec((1, c, npl), lambda i: (i, 0, 0),
+            pl.BlockSpec((p, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((p, 2, c, kh, kwl), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec((1, spec.n_ds, npl), lambda i: (i, 0, 0),
+        ] + ([pl.BlockSpec((p, spec.n_ds, npl), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_shape=[
             jax.ShapeDtypeStruct((d, c, npl), dtype),
             jax.ShapeDtypeStruct((d, 2, c, kh, kwl), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(x_flat, z, wp1, wp2, bias, *mat_args)
     return tuple(outs)

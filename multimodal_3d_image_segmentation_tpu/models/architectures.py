@@ -683,7 +683,7 @@ def _lane_selection(g_src, g_dst, mapping, dtype):
     """Build the (Npl_src, Npl_dst) 0/1 selection matrix ON DEVICE from the
     small index vector (an iota comparison) — embedding the dense matrix
     as a program constant blows the compile-request size at L0 scale."""
-    idx = jnp.asarray(_lane_src_indices_np(g_src, g_dst, mapping))
+    idx = _lane_src_indices_np(g_src, g_dst, mapping)  # numpy const
     iota = jax.lax.broadcasted_iota(jnp.int32, (g_src.npl, g_dst.npl), 0)
     return (iota == idx[None, :]).astype(dtype)
 
@@ -710,7 +710,7 @@ def _flat_nearest_upsample(x, g_src, g_dst):
         idx = np.minimum(np.floor(
             np.arange(g_dst.d) * (g_src.d / g_dst.d)).astype(np.int64),
             g_src.d - 1)
-        planes = jnp.take(x[1:g_src.d + 1], jnp.asarray(idx), axis=0)
+        planes = jnp.take(x[1:g_src.d + 1], idx, axis=0)
         x = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
     if (g_src.h, g_src.w) != (g_dst.h, g_dst.w) or g_src.npl != g_dst.npl:
         sel = _lane_selection(g_src, g_dst, "nearest", x.dtype)

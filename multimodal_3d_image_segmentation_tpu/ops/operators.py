@@ -280,7 +280,7 @@ class FourierOperator(nn.Module):
             for k in range(1, m_last):
                 f = f + 2.0 * np.cos(2.0 * np.pi * k * j / n_last)
             scale = float(np.prod(sizes[:-1]))
-            corr = (jnp.asarray(f, out.dtype)[:, None]
+            corr = (np.asarray(f, out.dtype)[:, None]
                     * bias.astype(out.dtype)[None, :] * scale)
             origin = (slice(None),) + (0,) * (nd - 1) + (slice(None),) * 2
             out = out.at[origin].add(corr)

@@ -53,9 +53,11 @@ def resize_linear(x: jax.Array, sizes: Sequence[int],
         lo, hi, w_hi = _linear_taps_np(n_in, n_out)
         shape = [1] * x.ndim
         shape[ax] = n_out
-        w = jnp.asarray(w_hi, x.dtype).reshape(shape)
-        x_lo = jnp.take(x, jnp.asarray(lo), axis=ax)
-        x_hi = jnp.take(x, jnp.asarray(hi), axis=ax)
+        # numpy constants: eager device consts would need a
+        # device->host readback at lowering (flaky relay)
+        w = np.asarray(w_hi, x.dtype).reshape(shape)
+        x_lo = jnp.take(x, lo, axis=ax)
+        x_hi = jnp.take(x, hi, axis=ax)
         x = x_lo + (x_hi - x_lo) * w
     return x
 
@@ -70,5 +72,5 @@ def resize_nearest(x: jax.Array, sizes: Sequence[int],
             continue
         idx = np.floor(np.arange(n_out) * (n_in / n_out)).astype(np.int64)
         idx = np.minimum(idx, n_in - 1)
-        x = jnp.take(x, jnp.asarray(idx), axis=ax)
+        x = jnp.take(x, idx, axis=ax)
     return x

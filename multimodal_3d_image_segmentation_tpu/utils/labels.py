@@ -34,5 +34,5 @@ def remap_labels(label, mapping: Optional[Dict[int, int]]):
     label = jnp.asarray(label)
     out = label
     for k, v in mapping.items():
-        out = jnp.where(label == k, jnp.asarray(v, label.dtype), out)
+        out = jnp.where(label == k, np.asarray(v, label.dtype), out)
     return out
