@@ -255,7 +255,7 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
     hl, kh, kwl = spec.hl, spec.kh, spec.kwl
     npl = w * hl
 
-    for p in range(p_planes):  # static unroll: amortizes grid overhead
+    def _plane(p, carry):  # fori_loop body: ONE copy of the kernel IR
         # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL).
         # One N-stacked dot against [Cwi | Swi], complex combine after.
         z = z_ref[p].reshape(2 * c * kh, kwl)
@@ -302,6 +302,12 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
         gim = gb[:, 0] + ga[:, 1]
         f_ref[p, 0] = gre.astype(f_ref.dtype)
         f_ref[p, 1] = gim.astype(f_ref.dtype)
+        return carry
+
+    if p_planes == 1:
+        _plane(0, 0)
+    else:
+        jax.lax.fori_loop(0, p_planes, _plane, 0)
 
 
 def _pick_p(d: int) -> int:
