@@ -36,7 +36,8 @@ from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear
 from ..ops.spectral import (_prec, clip_modes, dht_crop, dht_crop_flat,
                             dht_pad_inverse, dht_pad_inverse_flat,
-                            normalize_modes, spatial_axes)
+                            normalize_modes, packed_high_dcn_mix,
+                            spatial_axes)
 
 __all__ = ["HNOSegXS", "HNOXSBlock"]
 
@@ -141,9 +142,7 @@ class _FlatConcatConv(nn.Module):
         off = 0
         for xi in inputs:
             c = xi.shape[1]
-            part = jnp.einsum("dcn,co->don", xi,
-                              mat[off:off + c].astype(xi.dtype),
-                              precision=_prec(xi.dtype))
+            part = packed_high_dcn_mix(xi, mat[off:off + c])
             y = part if y is None else y + part
             off += c
         y = y + bias.astype(y.dtype)[None, :, None]
@@ -399,9 +398,7 @@ class HNOSegXS(nn.Module):
         off = 0
         for t in feats:
             c = t.shape[1]
-            part = jnp.einsum("dcn,co->don", t,
-                              mat[off:off + c].astype(t.dtype),
-                              precision=_prec(t.dtype))
+            part = packed_high_dcn_mix(t, mat[off:off + c])
             y = part if y is None else y + part
             off += c
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from . import initializers as inits
 from .activations import get_activation, is_selu
-from .spectral import _prec
+from .spectral import _prec, packed_high_channel_mix
 
 __all__ = ["Conv", "ConvTranspose", "ConvNormAct", "ConvTransposeNormAct",
            "ConcatConvNormAct", "_SplitKernelConv1x1"]
@@ -77,8 +77,7 @@ class Conv(nn.Module):
             mat = kernel.reshape(in_features, self.features)
             sub = "...iw,io->...wo" if self.channel_axis == -2 \
                 else "...i,io->...o"
-            y = jnp.einsum(sub, x, mat.astype(x.dtype),
-                           precision=_prec(x.dtype))
+            y = packed_high_channel_mix(sub, x, mat, self.channel_axis)
         else:
             assert self.channel_axis == -1, \
                 "channel_axis=-2 only supported on the 1x1 einsum path"
@@ -182,9 +181,8 @@ class _SplitKernelConv1x1(nn.Module):
         y = None
         off = 0
         for x, c in zip(inputs, cins):
-            part = jnp.einsum("...i,io->...o", x,
-                              mat[off:off + c].astype(x.dtype),
-                              precision=_prec(x.dtype))
+            part = packed_high_channel_mix("...i,io->...o", x,
+                                           mat[off:off + c], -1)
             if (self.upsample_to is not None
                     and part.shape[1:-1] != tuple(self.upsample_to)):
                 from .resize import resize_nearest

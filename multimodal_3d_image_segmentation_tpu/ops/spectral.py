@@ -550,26 +550,35 @@ def dht_pad_inverse_flat(packed: jax.Array, g) -> jax.Array:
     return jnp.einsum("kqcn,kqd->dcn", x, mfold, precision=_prec(dt))
 
 
-def packed_high_dcn_mix(x: jax.Array, mat: jax.Array) -> jax.Array:
-    """fp32 channel mix ``einsum('dcn,co->don')`` as ONE bf16 MXU pass.
+def packed_high_channel_mix(sub: str, x: jax.Array, mat: jax.Array,
+                            channel_axis: int) -> jax.Array:
+    """fp32 channel mix (1x1 conv) ``einsum(sub, x, mat)`` as ONE bf16
+    MXU pass.
 
-    Packs the contraction as ``[hi; hi; lo] x [Mhi; Mlo; Mhi]`` (the
-    bf16x3 product terms summed by the MXU's fp32 accumulator), so a
-    K=C<=42 mix costs a single pass instead of HIGH's three — measured
-    rel. error ~6e-6 (better than HIGH's 3e-5). Only used when the
-    framework precision is HIGH and inputs are fp32; other cases fall
-    back to the plain einsum.
+    ``sub`` must contract ``x``'s ``channel_axis`` (size C) against
+    ``mat``'s leading axis (C, O). The contraction is packed as
+    ``[hi; hi; lo] x [Mhi; Mlo; Mhi]`` (the bf16x3 product terms summed
+    by the MXU's fp32 accumulator), so a K=C<=42 mix costs a single pass
+    instead of HIGH's three — measured rel. error ~6e-6 (better than
+    HIGH's 3e-5). Only used when the framework precision is HIGH and
+    inputs are fp32; other cases fall back to the plain einsum.
     """
+    ax = channel_axis % x.ndim
     if x.dtype != jnp.float32 or PRECISION != jax.lax.Precision.HIGH \
-            or 3 * x.shape[1] > 128:
-        return jnp.einsum("dcn,co->don", x, mat.astype(x.dtype),
+            or 3 * x.shape[ax] > 128 or jax.default_backend() != "tpu":
+        # (CPU's dot thunk has no bf16xbf16->f32; HIGH there is fine.)
+        return jnp.einsum(sub, x, mat.astype(x.dtype),
                           precision=_prec(x.dtype))
     xhi = x.astype(jnp.bfloat16)
     xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xp = jnp.concatenate([xhi, xhi, xlo], axis=1)
+    xp = jnp.concatenate([xhi, xhi, xlo], axis=ax)
     m = mat.astype(jnp.float32)
     mhi = m.astype(jnp.bfloat16)
     mlo = (m - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
     mp = jnp.concatenate([mhi, mlo, mhi], axis=0)
-    return jnp.einsum("dcn,co->don", xp, mp,
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum(sub, xp, mp, preferred_element_type=jnp.float32)
+
+
+def packed_high_dcn_mix(x: jax.Array, mat: jax.Array) -> jax.Array:
+    """Flat-layout ``einsum('dcn,co->don')`` via packed_high_channel_mix."""
+    return packed_high_channel_mix("dcn,co->don", x, mat, channel_axis=1)

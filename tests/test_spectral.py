@@ -208,3 +208,35 @@ def test_packed_reverse_is_flip_roll():
 def test_mode_clipping():
     assert spectral.clip_modes((10, 14, 14), (20, 20, 16)) == (10, 10, 8)
     assert spectral.normalize_modes(5, 3) == (5, 5, 5)
+
+
+def test_packed_high_channel_mix_matches_einsum():
+    """CPU falls back to the plain einsum in every mode; all three
+    supported substitutions keep exact layout semantics."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((5, 24, 64)).astype(np.float32)
+    m = rng.standard_normal((24, 16)).astype(np.float32)
+    xj, mj = jnp.asarray(x), jnp.asarray(m)
+    for mode in ("highest", "high"):
+        spectral.set_fp32_transform_precision(mode)
+        try:
+            got = spectral.packed_high_dcn_mix(xj, mj)
+            want = jnp.einsum("dcn,co->don", xj, mj,
+                              precision=spectral._prec(xj.dtype))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-5)
+            got = spectral.packed_high_channel_mix(
+                "...i,io->...o", jnp.swapaxes(xj, 1, 2), mj, -1)
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want),
+                rtol=1e-4, atol=1e-5)
+            got = spectral.packed_high_channel_mix(
+                "...iw,io->...wo", xj, mj, -2)   # (d, i, w) -> (d, w, o)
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want),
+                rtol=1e-4, atol=1e-5)
+        finally:
+            spectral.set_fp32_transform_precision("highest")
+    # bf16 inputs never pack (single native pass)
+    got = spectral.packed_high_dcn_mix(xj.astype(jnp.bfloat16), mj)
+    assert got.dtype == jnp.bfloat16 or got.dtype == jnp.float32
