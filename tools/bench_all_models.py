@@ -2,6 +2,11 @@
 reference's published V100 numbers (reference README Fig. 1):
 HNOSeg-XS ~0.20-0.24 s, FNOSeg ~0.28 s, HNOSeg ~0.36 s, V-Net-DS ~0.33 s.
 
+Each family is measured at its SHIPPED config (``configs/*.ini``) plus
+the informational variants the README cites: the spectral towers get
+(fp32 'high' fused-Pallas), (fp32 'high' module/XLA) and (bf16 fused)
+rows; the flagship and V-Net additionally a bf16 row.
+
 ``--artifact`` additionally writes ``BENCH_ZOO.json`` at the repo root so
 every README model-zoo claim is regenerable from a committed artifact:
 
@@ -23,32 +28,53 @@ SHAPE = (1, 4, 240, 240, 155)
 V100 = {"HNOSeg-XS": 240, "FNOSeg": 280, "HNOSeg": 360, "V-Net-DS": 330,
         "HartleyMHA": None}
 
-CONFIGS = {
-    "HNOSeg-XS": models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14),
-                                 use_pallas=True),
-    "FNOSeg": models.NeuralOperatorSeg(4, 4, 24, 24, (10, 14, 14),
-                                       "Fourier"),
-    "HNOSeg": models.NeuralOperatorSeg(4, 4, 24, 24, (10, 14, 14),
-                                       "Hartley"),
-    "V-Net-DS": models.VNetDS(4, 4, 24, [1, 2, 3, 3, 3],
-                              right_leg_indexes=[0, 1, 2, 3, 4],
-                              use_pallas=True),
-    "HartleyMHA": models.HartleyMHASeg(4, 4, 24, 16, 4, (8, 12, 12), 2),
-}
+
+def _builders():
+    return {
+        "HNOSeg-XS": lambda **kw: models.HNOSegXS(
+            4, 4, 24, [3] * 8, (10, 14, 14), **kw),
+        "FNOSeg": lambda **kw: models.NeuralOperatorSeg(
+            4, 4, 24, 24, (10, 14, 14), "Fourier", **kw),
+        "HNOSeg": lambda **kw: models.NeuralOperatorSeg(
+            4, 4, 24, 24, (10, 14, 14), "Hartley", **kw),
+        "V-Net-DS": lambda **kw: models.VNetDS(
+            4, 4, 24, [1, 2, 3, 3, 3],
+            right_leg_indexes=[0, 1, 2, 3, 4], **kw),
+        "HartleyMHA": lambda **kw: models.HartleyMHASeg(
+            4, 4, 24, 16, 4, (8, 12, 12), 2, **kw),
+    }
+
+
+# (family, variant-label, kwargs). The first row per family is the
+# shipped configuration; the rest are the README's cited alternatives.
+def _rows():
+    b = _builders()
+    spectral_towers = ("FNOSeg", "HNOSeg", "HartleyMHA")
+    rows = []
+    for fam in ("HNOSeg-XS",) + spectral_towers + ("V-Net-DS",):
+        rows.append((fam, "fp32_high_pallas",
+                     b[fam], dict(use_pallas=True)))
+        if fam in spectral_towers:
+            rows.append((fam, "fp32_high_module", b[fam], dict()))
+        if fam != "V-Net-DS":
+            rows.append((fam, "bf16_pallas", b[fam],
+                         dict(use_pallas=True, compute_dtype="bfloat16")))
+    return rows
 
 
 def main(artifact=False):
     from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
-    # the shipped configs run serving precision ('high') for the fp32
-    # transform matmuls — measure what users get
+    # fp32 rows run serving precision ('high') for the fp32 transform
+    # matmuls — measure what the shipped configs give users
     from multimodal_3d_image_segmentation_tpu.ops import spectral
     spectral.set_fp32_transform_precision("high")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
     rows = []
-    for name, model in CONFIGS.items():
+    for name, variant, build, kw in _rows():
         try:
+            model = build(**kw)
             params = model.init(jax.random.PRNGKey(0),
                                 jnp.zeros_like(x))["params"]
             n_params = sum(int(np.prod(p.shape))
@@ -57,11 +83,12 @@ def main(artifact=False):
             ms = timed_loop_ms(fn, x, n_short=1, n_long=4, repeats=3)
             ref = V100.get(name)
             vs = f"{ref / ms:5.1f}x V100" if ref else "   (n/a)"
-            print(f"{name:11s} {n_params/1e6:8.3f}M params  "
+            print(f"{name:11s} {variant:18s} {n_params/1e6:8.3f}M  "
                   f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}",
                   flush=True)
             rows.append({
                 "model": name,
+                "variant": variant,
                 "params": n_params,
                 "ms_per_volume": round(ms, 2),
                 "volumes_per_sec": round(1000.0 / ms, 2),
@@ -69,22 +96,31 @@ def main(artifact=False):
                 "vs_v100": round(ref / ms, 2) if ref else None,
             })
         except Exception as e:
-            print(f"{name:11s} FAILED: {type(e).__name__}: {str(e)[:100]}",
-                  flush=True)
-            rows.append({"model": name, "error": f"{type(e).__name__}"})
+            print(f"{name:11s} {variant:18s} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+            rows.append({"model": name, "variant": variant,
+                         "error": f"{type(e).__name__}"})
+        if artifact:  # incremental: survive a later-row crash
+            _write(rows)
     if artifact:
-        out = {
-            "shape": list(SHAPE),
-            "protocol": "chained fori_loop, per-volume median "
-                        "(utils/profiling.timed_loop_ms), serving "
-                        "precision 'high', fp32 activations",
-            "device": str(jax.devices()[0]),
-            "models": rows,
-        }
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_ZOO.json")
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+        _write(rows, final=True)
+
+
+def _write(rows, final=False):
+    out = {
+        "shape": list(SHAPE),
+        "protocol": "chained fori_loop, per-volume median "
+                    "(utils/profiling.timed_loop_ms); fp32 rows at "
+                    "serving precision 'high'; first row per family = "
+                    "the shipped config",
+        "device": str(jax.devices()[0]),
+        "models": rows,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_ZOO.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    if final:
         print(f"wrote {path}")
 
 

@@ -39,6 +39,16 @@ N_TRAIN = 6
 N_EVAL = 3
 STEPS = 400
 
+MODEL_FAMILIES = {
+    # zero-shot SR via use_resize=False + mode truncation (XS resizes)
+    "hnoseg_xs": lambda **kw: models.HNOSegXS(
+        4, 4, 24, [3] * 8, (10, 14, 14), **kw),
+    "fnoseg": lambda **kw: models.NeuralOperatorSeg(
+        4, 4, 24, 24, (10, 14, 14), "Fourier", **kw),
+    "hnoseg": lambda **kw: models.NeuralOperatorSeg(
+        4, 4, 24, 24, (10, 14, 14), "Hartley", **kw),
+}
+
 
 def blob_volume(rng, shape):
     """Multi-blob volume with 3 foreground classes; geometry defined in
@@ -70,9 +80,9 @@ def make_dataset(seed, n, shape):
     return np.stack(xs), np.stack(ys)
 
 
-def train(params_seed=0):
+def train(family="hnoseg_xs", params_seed=0):
     spectral.set_fp32_transform_precision("highest")
-    model = models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14))
+    model = MODEL_FAMILIES[family]()
     xs, ys = make_dataset(1, N_TRAIN, TRAIN_SHAPE)
     schedule = build_schedule(
         {"scheduler_name": "CosineAnnealingWarmRestarts", "eta_min": 1e-3},
@@ -103,12 +113,12 @@ def dice_per_class(pred, true, n_classes=4):
     return out
 
 
-def evaluate(params, mode):
+def evaluate(params, mode, family="hnoseg_xs"):
     """mode: ('highest'|'high', use_pallas, compute_dtype)"""
     prec, use_pallas, dtype = mode
     spectral.set_fp32_transform_precision(prec)
-    model = models.HNOSegXS(4, 4, 24, [3] * 8, (10, 14, 14),
-                            use_pallas=use_pallas, compute_dtype=dtype)
+    model = MODEL_FAMILIES[family](use_pallas=use_pallas,
+                                   compute_dtype=dtype)
 
     # fresh closure per mode: precision is baked at trace time
     def fwd(p, v):
@@ -129,39 +139,53 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", action="store_true")
+    ap.add_argument("--families", default="hnoseg_xs",
+                    help="comma list of " + ",".join(MODEL_FAMILIES))
     args = ap.parse_args()
-
-    params, hist = train()
 
     modes = {
         "fp32_highest": ("highest", False, "float32"),
         "fp32_high_pallas": ("high", True, "float32"),
         "bf16_pallas": ("high", True, "bfloat16"),
     }
-    results = {"train_loss_history": hist,
-               "train_shape": list(TRAIN_SHAPE),
+    results = {"train_shape": list(TRAIN_SHAPE),
                "eval_shape": list(EVAL_SHAPE),
                "steps": STEPS, "backend": jax.default_backend()}
-    ref_dice, ref_preds = None, None
-    for name, mode in modes.items():
-        dices, preds = evaluate(params, mode)
-        mean_d = np.nanmean(dices, axis=0)
-        rec = {"per_class_dice_mean": [round(float(v), 5) for v in mean_d]}
-        if ref_dice is None:
-            ref_dice, ref_preds = mean_d, preds
-        else:
-            rec["dice_delta_vs_highest"] = [
-                round(float(v - r), 5) for v, r in zip(mean_d, ref_dice)]
-            agree = np.mean([np.mean(p == q)
-                             for p, q in zip(preds, ref_preds)])
-            rec["argmax_agreement_vs_highest"] = round(float(agree), 6)
-        results[name] = rec
-        print(name, rec, flush=True)
+    for family in args.families.split(","):
+        params, hist = train(family)
+        fam_res = {"train_loss_history": hist}
+        ref_dice, ref_preds = None, None
+        for name, mode in modes.items():
+            try:
+                dices, preds = evaluate(params, mode, family)
+            except Exception as e:  # a mode failing must not eat the run
+                fam_res[name] = {"error": f"{type(e).__name__}: "
+                                          f"{str(e)[:300]}"}
+                print(family, name, "FAILED", type(e).__name__, flush=True)
+                continue
+            mean_d = np.nanmean(dices, axis=0)
+            rec = {"per_class_dice_mean":
+                   [round(float(v), 5) for v in mean_d]}
+            if ref_dice is None:
+                ref_dice, ref_preds = mean_d, preds
+            else:
+                rec["dice_delta_vs_highest"] = [
+                    round(float(v - r), 5)
+                    for v, r in zip(mean_d, ref_dice)]
+                agree = np.mean([np.mean(p == q)
+                                 for p, q in zip(preds, ref_preds)])
+                rec["argmax_agreement_vs_highest"] = round(float(agree), 6)
+            fam_res[name] = rec
+            print(family, name, rec, flush=True)
+        results[family] = fam_res
+        if args.artifact:  # incremental: survive a later-family crash
+            with open("/root/repo/BENCH_PRECISION.json", "w") as f:
+                json.dump(results, f, indent=1)
 
     results["protocol"] = (
-        "train flagship HNOSeg-XS on synthetic blob volumes at "
-        "120x120x78 (fp32 highest), zero-shot-SR eval of the SAME "
-        "trained params at 240x240x155 under each serving mode; "
+        "per family: train on synthetic blob volumes at 120x120x78 "
+        "(fp32 highest), zero-shot-SR eval of the SAME trained params "
+        "at 240x240x155 under each serving mode; "
         "Dice bar: |delta| <= 0.001 (0.1%, BASELINE.md)")
     if args.artifact:
         with open("/root/repo/BENCH_PRECISION.json", "w") as f:
