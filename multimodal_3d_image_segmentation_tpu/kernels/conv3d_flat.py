@@ -99,9 +99,14 @@ def _dot_f32(a, b, precision):
 
 
 def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
-                  a_ref, bpend_ref, xcol_ref, *,
+                  *maybe_s_then_scratch,
                   ci, co, wp, npl, dp, precision, prologue_act, has_pro,
-                  dilated_depth, has_x2):
+                  dilated_depth, has_x2, emit_stats):
+    if emit_stats:
+        s_ref, a_ref, bpend_ref, xcol_ref = maybe_s_then_scratch
+    else:
+        a_ref, bpend_ref, xcol_ref = maybe_s_then_scratch
+        s_ref = None
     i = pl.program_id(0)
     f32 = jnp.float32
 
@@ -140,16 +145,26 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
     done = bpend_ref[:] + p[2 * co:3 * co]
     done = (done + b_ref[:][:, :1]) * m_ref[:]      # bias + clean borders
     write_zero = (i <= 1) | (i >= dp)
-    o_ref[0] = jnp.where(write_zero, 0.0, done).astype(o_ref.dtype)
+    done = jnp.where(write_zero, 0.0, done)
+    o_ref[0] = done.astype(o_ref.dtype)
+    if s_ref is not None:
+        # per-channel GroupNorm moment partials of the plane just
+        # written (borders are exact zeros -> whole-row sums are valid-
+        # interior sums); reduced over grid steps in XLA. Lane-folded to
+        # (co, 128) so the write stays a clean vector op.
+        df = done.reshape(co, npl // 128, 128)
+        s_ref[0, 0] = jnp.sum(df, axis=1)
+        s_ref[0, 1] = jnp.sum(df * df, axis=1)
     bpend_ref[:] = a_ref[:] + p[co:2 * co]
     a_ref[:] = p[0:co]
 
 
 @functools.partial(
     jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret",
-                              "dilated_depth"))
+                              "dilated_depth", "emit_stats"))
 def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
-                     prologue_act, interpret, dilated_depth=None):
+                     prologue_act, interpret, dilated_depth=None,
+                     emit_stats=False):
     has_x2 = x2 is not None
     ci = x_flat.shape[1] + (x2.shape[1] if has_x2 else 0)
     co = w72.shape[0] // 3
@@ -198,16 +213,25 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
     kern = functools.partial(
         _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
         precision=precision, prologue_act=prologue_act, has_pro=has_pro,
-        dilated_depth=dilated_depth, has_x2=has_x2)
+        dilated_depth=dilated_depth, has_x2=has_x2, emit_stats=emit_stats)
+    out_shape = [jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype)]
+    out_specs = [pl.BlockSpec(
+        (1, co, g.npl),
+        lambda i: (jnp.clip(i - 1, 0, g.dp - 1), 0, 0),
+        memory_space=pltpu.VMEM)]
+    if emit_stats:
+        # per-step (sum, sumsq) lane partials; tiny (grid, 2, co, 128)
+        out_shape.append(jax.ShapeDtypeStruct((g.dp + 1, 2, co, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 2, co, 128),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype),
+        out_shape=out_shape,
         grid=(g.dp + 1,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, co, g.npl),
-            lambda i: (jnp.clip(i - 1, 0, g.dp - 1), 0, 0),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((co, g.npl), jnp.float32),
                         pltpu.VMEM((co, g.npl), jnp.float32),
                         pltpu.VMEM((9 * ci, g.npl), jnp.float32)],
@@ -215,11 +239,14 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    return out
+    if emit_stats:
+        y, partials = out
+        return y, jnp.sum(partials, axis=(0, 3))   # (2, co)
+    return out[0]
 
 
 def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
-                         x2=None):
+                         x2=None, emit_stats=False):
     """XLA formulation on the unflattened view — numerics oracle and the
     backward pass of the custom VJP."""
     if x2 is not None:
@@ -236,7 +263,12 @@ def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
         x4[None], kernel, (1, 1, 1), "SAME",
         dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
         precision=lax.Precision.HIGHEST)[0] + bias[:, None, None, None]
-    return to_flat(y, g)
+    y_flat = to_flat(y, g)                          # clean zero borders
+    if emit_stats:
+        yf = y_flat.astype(jnp.float32)
+        return y_flat, jnp.stack([jnp.sum(yf, axis=(0, 2)),
+                                  jnp.sum(yf * yf, axis=(0, 2))])
+    return y_flat
 
 
 def _pack_w72(kernel):
@@ -256,24 +288,25 @@ def _dilate_d_flat(x_flat, g_out, d_src):
     return jnp.pad(inter, ((1, 1), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-               prologue_act, interpret, dilated_depth):
+               prologue_act, interpret, dilated_depth, emit_stats):
     mask = np.asarray(g.interior_mask())  # numpy const: no device readback at lowering
     return _conv3_flat_impl(x_flat, x2, _pack_w72(kernel), bias, mask,
                             prologue, g, precision, prologue_act, interpret,
-                            dilated_depth=dilated_depth)
+                            dilated_depth=dilated_depth,
+                            emit_stats=emit_stats)
 
 
 def _conv3_fwd(x_flat, x2, kernel, bias, prologue, g, precision,
-               prologue_act, interpret, dilated_depth):
+               prologue_act, interpret, dilated_depth, emit_stats):
     out = _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-                     prologue_act, interpret, dilated_depth)
+                     prologue_act, interpret, dilated_depth, emit_stats)
     return out, (x_flat, x2, kernel, bias, prologue)
 
 
-def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth, res,
-               grad):
+def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
+               emit_stats, res, grad):
     x_flat, x2, kernel, bias, prologue = res
 
     def f(xf, xs, k, b, pro):
@@ -281,7 +314,8 @@ def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth, res,
             xf = _dilate_d_flat(xf, g, dilated_depth)
             if xs is not None:
                 xs = _dilate_d_flat(xs, g, dilated_depth)
-        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act, x2=xs)
+        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act, x2=xs,
+                                    emit_stats=emit_stats)
 
     if prologue is None and x2 is None:
         _, vjp = jax.vjp(lambda xf, k, b: f(xf, None, k, b, None),
@@ -310,7 +344,8 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
                = None, prologue_act: Optional[str] = None,
                precision: str = "bf16x3",
                interpret: Optional[bool] = None,
-               dilated_depth: Optional[int] = None) -> jax.Array:
+               dilated_depth: Optional[int] = None,
+               emit_stats: bool = False):
     """k=3/s=1 SAME conv on the flat padded layout.
 
     Args:
@@ -322,10 +357,15 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
             BEFORE the conv, followed by ``prologue_act`` — fuses the
             previous layer's GroupNorm+activation into this kernel.
         precision: 'bf16x3' (default; ~5e-6 rel) or 'highest' (bf16x6).
+        emit_stats: also return fp32 per-channel GroupNorm moment sums
+            ``(2, co)`` = [sum(y), sum(y^2)] over the valid interior,
+            accumulated inside the kernel — the following GroupNorm
+            needs no stats read pass over the volume.
 
     Returns:
         (Dp, co, Npl) with clean zero borders (bias applied inside the
-        valid interior only). Differentiable (backward via XLA).
+        valid interior only) — plus the (2, co) stats when
+        ``emit_stats``. Differentiable (backward via XLA).
     """
     if isinstance(x_flat, (tuple, list)):
         x_flat, x2 = x_flat  # virtual channel concat (ci = c1 + c2)
@@ -334,7 +374,8 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-                      prologue_act, bool(interpret), dilated_depth)
+                      prologue_act, bool(interpret), dilated_depth,
+                      bool(emit_stats))
 
 
 def apply_affine_act_flat(x_flat, scale, shift, act: Optional[str]):

@@ -33,7 +33,7 @@ from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
-from ..ops.spectral import _prec
+from ..ops.spectral import _prec, packed_high_dcn_mix
 
 __all__ = ["VNetDS", "NeuralOperatorSeg", "HartleyMHASeg",
            "NeuralOperatorBlock", "HartleyMHABlock"]
@@ -409,17 +409,15 @@ class NeuralOperatorSeg(_TransSegBase):
         if n_ds:
             # the last block's output is the final deep-supervision leg
             last = mds[n_blocks * self.filters:]
-            ds = ds + jnp.einsum("dcn,co->don",
-                                 x_flat.astype(jnp.float32), last,
-                                 precision=_prec(jnp.float32))
+            ds = ds + packed_high_dcn_mix(
+                x_flat.astype(jnp.float32), last)
             ds = ds + bds.astype(jnp.float32)[None, :, None]
             x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
 
         kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
                               name="conv_out")()
         mat = kern.reshape(x_flat.shape[1], self.out_channels)
-        x_flat = jnp.einsum("dcn,co->don", x_flat, mat.astype(x_flat.dtype),
-                            precision=_prec(x_flat.dtype))
+        x_flat = packed_high_dcn_mix(x_flat, mat)
 
         return self._fused_exit(x_flat, sizes, image_size, in_dtype)
 
@@ -575,18 +573,15 @@ class HartleyMHASeg(_TransSegBase):
 
         if n_ds:
             last = mds[n_blocks * c:]
-            ds = ds + jnp.einsum("dcn,co->don",
-                                 x_flat.astype(jnp.float32), last,
-                                 precision=_prec(jnp.float32))
+            ds = ds + packed_high_dcn_mix(
+                x_flat.astype(jnp.float32), last)
             ds = ds + bds.astype(jnp.float32)[None, :, None]
             x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
 
         kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
                               name="conv_out")()
         mat = kern.reshape(x_flat.shape[1], self.out_channels)
-        x_flat = jnp.einsum("dcn,co->don", x_flat,
-                            mat.astype(x_flat.dtype),
-                            precision=_prec(x_flat.dtype))
+        x_flat = packed_high_dcn_mix(x_flat, mat)
         return self._fused_exit(x_flat, sizes, image_size, in_dtype)
 
     @nn.compact
@@ -613,17 +608,24 @@ class HartleyMHASeg(_TransSegBase):
         return x
 
 
-def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5):
+def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None):
     """GroupNorm(1) + activation on a flat tensor. Borders may be dirty:
     moment sums mask them inside the (fused) reductions and the static
     valid count makes the stats exact. Output borders stay/become dirty —
-    downstream flat consumers sanitize."""
+    downstream flat consumers sanitize.
+
+    ``stats``: optional kernel-emitted per-channel (2, C) moment sums
+    (``conv3_flat(emit_stats=True)``) — skips the stats read pass."""
     c = y.shape[1]
-    mask = jnp.asarray(g.interior_mask(), jnp.float32)  # (1, Npl)
-    yin = y[1:g.d + 1].astype(jnp.float32) * mask[None]
     n_valid = g.d * g.h * g.w * c
-    s = jnp.sum(yin)
-    s2 = jnp.sum(jax.lax.square(yin))
+    if stats is not None:
+        s = jnp.sum(stats[0].astype(jnp.float32))
+        s2 = jnp.sum(stats[1].astype(jnp.float32))
+    else:
+        mask = jnp.asarray(g.interior_mask(), jnp.float32)  # (1, Npl)
+        yin = y[1:g.d + 1].astype(jnp.float32) * mask[None]
+        s = jnp.sum(yin)
+        s2 = jnp.sum(jax.lax.square(yin))
     m = s / n_valid
     var = s2 / n_valid - m * m
     inv = jax.lax.rsqrt(var + eps)
@@ -757,16 +759,21 @@ class _FlatConvNormAct(nn.Module):
             off = 0
             for t in parts:  # virtual concat: per-part einsums, summed
                 c = t.shape[1]
-                part = jnp.einsum("dcn,co->don", t,
-                                  mat[off:off + c].astype(t.dtype),
-                                  precision=_prec(t.dtype))
+                part = packed_high_dcn_mix(t, mat[off:off + c])
                 y = part if y is None else y + part
                 off += c
             y = y + bias.astype(y.dtype)[None, :, None]
         else:
+            # stats fused in-kernel when a same-geometry GroupNorm
+            # follows (the decimated case must compute stats on the
+            # decimated volume — reference semantics)
+            want_stats = not self.use_snn and self.g_half is None
             y = conv3_flat(x if len(parts) > 1 else parts[0],
                            kernel.astype(parts[0].dtype),
-                           bias.astype(parts[0].dtype), self.g)
+                           bias.astype(parts[0].dtype), self.g,
+                           emit_stats=want_stats)
+            if want_stats:
+                y, kstats = y
         g_out = self.g
         if self.g_half is not None:
             gh = self.g_half
@@ -780,7 +787,10 @@ class _FlatConvNormAct(nn.Module):
             g_out = gh
         if not self.use_snn:
             scale, gbias = _GNParams(self.features, name="norm")()
-            return _flat_gn_act(y, g_out, scale, gbias, self.activation)
+            stats = (kstats if (self.kernel_size != 1
+                                and self.g_half is None) else None)
+            return _flat_gn_act(y, g_out, scale, gbias, self.activation,
+                                stats=stats)
         act = get_activation(self.activation)
         return act(y) if act is not None else y
 
@@ -831,13 +841,16 @@ class _FlatConvTransposeNormAct(nn.Module):
         g_mid = flat_geom(g.d, g2.h, g2.w)
         bias2 = jnp.concatenate([bias, bias])
         y2 = conv3_flat(up, k2x.astype(x.dtype), bias2.astype(x.dtype),
-                        g_mid)                        # (g.d+2, 2co, Npl2)
+                        g_mid, emit_stats=not snn)    # (g.d+2, 2co, Npl2)
+        if not snn:
+            y2, kstats = y2   # (2, 2co) sums == reassembled-volume sums
         planes = y2[1:g.d + 1].reshape(g.d, 2, co, g2.npl)
         y = jnp.pad(planes.reshape(2 * g.d, co, g2.npl),
                     ((1, 1), (0, 0), (0, 0)))
         if not snn:
             scale, gbias = _GNParams(self.features, name="norm")()
-            return _flat_gn_act(y, g2, scale, gbias, self.activation)
+            return _flat_gn_act(y, g2, scale, gbias, self.activation,
+                                stats=kstats)
         act = get_activation(self.activation)
         return act(y) if act is not None else y
 
@@ -865,9 +878,7 @@ class _FlatDSHead(nn.Module):
         off = 0
         for t, g_src in legs:
             c = t.shape[1]
-            part = jnp.einsum("dcn,co->don", t,
-                              mat[off:off + c].astype(t.dtype),
-                              precision=_prec(t.dtype))
+            part = packed_high_dcn_mix(t, mat[off:off + c])
             if g_src != self.g_dst:
                 part = _flat_nearest_upsample(part, g_src, self.g_dst)
             y = part if y is None else y + part
@@ -1080,8 +1091,7 @@ class VNetDS(nn.Module):
         kern = _Conv1x1Weight(self.out_channels, x.shape[1], snn,
                               name="conv_out")()
         mat = kern.reshape(x.shape[1], self.out_channels)
-        x = jnp.einsum("dcn,co->don", x, mat.astype(x.dtype),
-                       precision=_prec(x.dtype))
+        x = packed_high_dcn_mix(x, mat)
 
         x = from_flat(x, g0)[None]                 # (1, out, D2, H2, W2)
         if self.use_resize:

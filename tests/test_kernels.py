@@ -305,3 +305,43 @@ def test_vnetds_flat_bf16(monkeypatch):
     assert y16.dtype == np.float32  # cast back to the input dtype
     assert np.all(np.isfinite(y16))
     np.testing.assert_allclose(y16, y32, atol=0.05)  # softmax outputs
+
+
+def test_conv3_flat_emit_stats_matches_xla():
+    """Kernel-emitted GroupNorm moment sums == XLA sums over the clean-
+    bordered output; gradients flow through the stats output."""
+    from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat import (
+        conv3_flat, flat_geom, to_flat, _conv3_xla_reference)
+    rng = np.random.default_rng(13)
+    g = flat_geom(5, 8, 10)
+    x = to_flat(jnp.asarray(rng.standard_normal((8, 5, 8, 10)),
+                            jnp.float32), g)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 6)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+
+    y, stats = conv3_flat(x, k, b, g, emit_stats=True)
+    y_ref, stats_ref = _conv3_xla_reference(x, k, b, None, g, None,
+                                            emit_stats=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+    assert stats.shape == (2, 6)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(stats_ref),
+                               atol=1e-3, rtol=1e-4)
+    # the stats must equal valid-interior sums (borders are clean zeros)
+    np.testing.assert_allclose(
+        float(stats[0].sum()), float(jnp.sum(y)), rtol=1e-5, atol=1e-3)
+
+    def loss(xf):
+        yy, st = conv3_flat(xf, k, b, g, emit_stats=True)
+        return jnp.sum(yy ** 2) + jnp.sum(st[1])
+
+    def loss_ref(xf):
+        yy, st = _conv3_xla_reference(xf, k, b, None, g, None,
+                                      emit_stats=True)
+        return jnp.sum(yy ** 2) + jnp.sum(st[1])
+
+    gk = jax.grad(loss)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=5e-4, rtol=1e-3)
