@@ -171,11 +171,16 @@ def _collective_bytes(compiled):
 
 
 def make_artifact(out_path):
-    results = [bench_device("float32"), bench_device("bfloat16"),
-               bench_device("float32", use_pallas=True),
-               bench_device("bfloat16", use_pallas=True)]
-    for r in results:
-        print(json.dumps(r))
+    results = []
+    for dtype, pallas in (("float32", False), ("bfloat16", False),
+                          ("float32", True), ("bfloat16", True)):
+        try:
+            results.append(bench_device(dtype, use_pallas=pallas))
+        except Exception as e:  # a failing row must not eat the artifact
+            results.append({"mode": "device_step", "compute_dtype": dtype,
+                            "use_pallas": pallas,
+                            "error": f"{type(e).__name__}: {str(e)[:200]}"})
+        print(json.dumps(results[-1]))
     scaling = []
     for n in (1, 2, 4, 8):
         proc = subprocess.run(
