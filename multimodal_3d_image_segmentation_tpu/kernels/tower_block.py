@@ -248,8 +248,11 @@ def _maybe_pack(x, axis, packed):
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                   mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
-                  out_ref, f_ref, *maybe_ds_ref, spec: TowerSpec,
+                  out_ref, f_ref, *maybe_ds_and_scratch, spec: TowerSpec,
                   packed: bool, p_planes: int):
+    # trailing positional refs: [ds_ref if n_ds] + [y1_scratch]
+    y1_scr = maybe_ds_and_scratch[-1]
+    maybe_ds_ref = maybe_ds_and_scratch[:-1]
     c = spec.channels
     _, h, w = spec.sizes
     hl, kh, kwl = spec.hl, spec.kh, spec.kwl
@@ -270,7 +273,9 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
     yim = jnp.swapaxes(yim, 2, 3).reshape(p * c * w, kh)
     y1 = (_kdot(_maybe_pack(yre, 1, packed), mhi_a[...])
           + _kdot(_maybe_pack(yim, 1, packed), mhi_b[...]))  # (PCW, HL)
-    y1 = y1.reshape(p, c, npl)
+    # stage into VMEM scratch: Mosaic cannot dynamic_slice a *value*
+    # inside the fori_loop body, but dynamic ref indexing lowers fine
+    y1_scr[...] = y1.reshape(p, c, npl)
 
     # ---- tail per plane (N = NPL is huge: these dots hide behind the
     # volume DMA; per-plane keeps the packing on the small C axis)
@@ -285,7 +290,7 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
             maybe_ds_ref[0][q] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
             pq = pq[:2 * c]
         pq = pq + bias_ref[...]
-        t = _selu(y1[q] + pq[:c])
+        t = _selu(y1_scr[q] + pq[:c])
         tp = _maybe_pack(t, 0, packed)
         o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
         out_ref[q] = o.astype(out_ref.dtype)
@@ -369,6 +374,7 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
             jax.ShapeDtypeStruct((d, 2, c, kh, kwl), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
+        scratch_shapes=[pltpu.VMEM((p, c, npl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
