@@ -248,78 +248,66 @@ def _maybe_pack(x, axis, packed):
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                   mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
-                  out_ref, f_ref, *maybe_ds_and_scratch, spec: TowerSpec,
+                  out_ref, f_ref, *maybe_ds_ref, spec: TowerSpec,
                   packed: bool, p_planes: int):
-    # trailing positional refs: [ds_ref if n_ds] + [y1_scratch]
-    y1_scr = maybe_ds_and_scratch[-1]
-    maybe_ds_ref = maybe_ds_and_scratch[:-1]
     c = spec.channels
     _, h, w = spec.sizes
     hl, kh, kwl = spec.hl, spec.kh, spec.kwl
     npl = w * hl
-    p = p_planes
 
-    # ---- inverse 2D, ALL P planes in each dot (the spectral dots are
-    # small per plane — M in the 1-2k range; P-batching multiplies M by
-    # the plane count so the MXU stays filled).
-    # z (P, 2, C, KH, KWL) -> y1 (P, C, NPL).
-    z = z_ref[...].reshape(p * 2 * c * kh, kwl)
-    ab = _kdot(_maybe_pack(z, 1, packed), mwi_cs[...])   # (P2CKH, 2W)
-    a = ab[:, :w].reshape(p, 2, c, kh, w)
-    b = ab[:, w:].reshape(p, 2, c, kh, w)
-    yre = a[:, 0] - b[:, 1]                              # (P, C, KH, W)
-    yim = b[:, 0] + a[:, 1]
-    yre = jnp.swapaxes(yre, 2, 3).reshape(p * c * w, kh)
-    yim = jnp.swapaxes(yim, 2, 3).reshape(p * c * w, kh)
-    y1 = (_kdot(_maybe_pack(yre, 1, packed), mhi_a[...])
-          + _kdot(_maybe_pack(yim, 1, packed), mhi_b[...]))  # (PCW, HL)
-    # stage into VMEM scratch: Mosaic cannot dynamic_slice a *value*
-    # inside the fori_loop body, but dynamic ref indexing lowers fine
-    y1_scr[...] = y1.reshape(p, c, npl)
+    def _plane(p, carry):  # fori_loop body: ONE copy of the kernel IR
+        # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL).
+        # One N-stacked dot against [Cwi | Swi], complex combine after.
+        z = z_ref[p].reshape(2 * c * kh, kwl)
+        ab = _kdot(_maybe_pack(z, 1, packed), mwi_cs[...])  # (2CKH, 2W)
+        a = ab[:, :w].reshape(2, c, kh, w)
+        b = ab[:, w:].reshape(2, c, kh, w)
+        y = jnp.stack([a[0] - b[1], b[0] + a[1]])          # (2, C, KH, W)
+        y = jnp.swapaxes(y, 2, 3).reshape(2, c * w, kh)
+        y1 = (_kdot(_maybe_pack(y[0], 1, packed), mhi_a[...])
+              + _kdot(_maybe_pack(y[1], 1, packed), mhi_b[...]))
 
-    # ---- tail per plane (N = NPL is huge: these dots hide behind the
-    # volume DMA; per-plane keeps the packing on the small C axis)
-    def _plane(q, carry):
-        x = x_ref[q]                                 # (C, NPL)
+        # ---- tail: p/q one packed dot on x; out = selu(...)
+        x = x_ref[p]                                 # (C, NPL)
         xp = _maybe_pack(x, 0, packed)
         pq = _kdot(wp1_ref[...], xp)                 # (2C [+n_ds], NPL)
         if spec.n_ds:
             # deep-supervision projection of THIS block's input rides
             # the same packed dot (rows beyond 2C); bias-free (conv_ds
             # bias applies once on the accumulated sum)
-            maybe_ds_ref[0][q] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
+            maybe_ds_ref[0][p] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
             pq = pq[:2 * c]
         pq = pq + bias_ref[...]
-        t = _selu(y1_scr[q] + pq[:c])
+        t = _selu(y1.reshape(c, npl) + pq[:c])
         tp = _maybe_pack(t, 0, packed)
         o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
-        out_ref[q] = o.astype(out_ref.dtype)
+        out_ref[p] = o.astype(out_ref.dtype)
+
+        # ---- forward 2D of out: (C, NPL) -> f (2, C, KH, KW).
+        # H 'first' as 3-term bf16x3 accumulation (K=HL stays one tile
+        # per term; no 3x lane-concat), W 'mid' as one N-stacked dot.
+        o2 = o.reshape(c, w, hl).reshape(c * w, hl)
+        if packed:
+            ohi, olo = _hi_lo(o2)
+            fcs = (_kdot(ohi, mhf_hi[...]) + _kdot(ohi, mhf_lo[...])
+                   + _kdot(olo, mhf_hi[...]))        # (CW, 2KH)
+        else:
+            fcs = _kdot(o2.astype(jnp.bfloat16), mhf_hi[...])
+        fcs = fcs.reshape(c, w, 2 * kh)
+        fcs = jnp.swapaxes(fcs, 1, 2).reshape(c * 2 * kh, w)
+        gg = _kdot(_maybe_pack(fcs, 1, packed), mwf_cs[...])  # (C2KH, 2KW)
+        ga = gg[:, :kwl].reshape(c, 2, kh, kwl)
+        gb = gg[:, kwl:].reshape(c, 2, kh, kwl)
+        gre = ga[:, 0] - gb[:, 1]
+        gim = gb[:, 0] + ga[:, 1]
+        f_ref[p, 0] = gre.astype(f_ref.dtype)
+        f_ref[p, 1] = gim.astype(f_ref.dtype)
         return carry
 
-    if p == 1:
+    if p_planes == 1:
         _plane(0, 0)
     else:
-        jax.lax.fori_loop(0, p, _plane, 0)
-
-    # ---- forward 2D of out, ALL P planes per dot: (P, C, NPL) ->
-    # f (P, 2, C, KH, KWL). H 'first' as 3-term bf16x3 accumulation
-    # (K=HL stays one tile per term; no 3x lane-concat), W 'mid' as one
-    # N-stacked dot.
-    o2 = out_ref[...].astype(y1.dtype).reshape(p * c * w, hl)
-    if packed:
-        ohi, olo = _hi_lo(o2)
-        fcs = (_kdot(ohi, mhf_hi[...]) + _kdot(ohi, mhf_lo[...])
-               + _kdot(olo, mhf_hi[...]))            # (PCW, 2KH)
-    else:
-        fcs = _kdot(o2.astype(jnp.bfloat16), mhf_hi[...])
-    fcs = fcs.reshape(p, c, w, 2 * kh)
-    fcs = jnp.swapaxes(fcs, 2, 3).reshape(p * c * 2 * kh, w)
-    gg = _kdot(_maybe_pack(fcs, 1, packed), mwf_cs[...])  # (PC2KH, 2KW)
-    ga = gg[:, :kwl].reshape(p, c, 2, kh, kwl)
-    gb = gg[:, kwl:].reshape(p, c, 2, kh, kwl)
-    f_ref[...] = jnp.stack(
-        [ga[:, :, 0] - gb[:, :, 1], gb[:, :, 0] + ga[:, :, 1]],
-        axis=1).astype(f_ref.dtype)
+        jax.lax.fori_loop(0, p_planes, _plane, 0)
 
 
 def _pick_p(d: int) -> int:
@@ -374,7 +362,6 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
             jax.ShapeDtypeStruct((d, 2, c, kh, kwl), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
-        scratch_shapes=[pltpu.VMEM((p, c, npl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
