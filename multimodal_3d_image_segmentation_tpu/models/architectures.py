@@ -385,6 +385,23 @@ class NeuralOperatorSeg(_TransSegBase):
                       for i, (op, w_cat, w_cc_t, b_cat)
                       in enumerate(blocks)]
 
+        # bf16 serving path without deep supervision: the whole tower in
+        # one VMEM-resident kernel (no per-block HBM round trips)
+        if x_flat.dtype == jnp.bfloat16 and not n_ds:
+            from ..kernels import tower_resident as tr
+            op_stack = jnp.stack([jnp.stack(list(op))
+                                  for (op, _, _, _) in blocks])
+            wcat_stack = jnp.stack([w for (_, w, _, _) in blocks])
+            wcc_stack = jnp.stack([w for (_, _, w, _) in blocks])
+            b_stack = jnp.stack([b for (_, _, _, b) in blocks])
+            x_flat = tr.resident_tower(x_flat, op_stack, wcat_stack,
+                                       wcc_stack, b_stack, spec, interpret)
+            kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1],
+                                  True, name="conv_out")()
+            mat = kern.reshape(x_flat.shape[1], self.out_channels)
+            x_flat = packed_high_dcn_mix(x_flat, mat)
+            return self._fused_exit(x_flat, sizes, image_size, in_dtype)
+
         # one scan over stacked per-block weights: a single traced block
         # body (and a single Mosaic kernel compile) instead of 24
         stacked = jax.tree_util.tree_map(
