@@ -124,8 +124,12 @@ def _resident_kernel(x_in, s0_ref, wcat_ref, wcc_ref, bias_ref, wpre_ref,
     def _plane(p, carry):
         # ---- inverse D stage for THIS plane: broadcast-reduce over KD
         s = s_cur[...]                                  # (S, CKH, KW) f32
-        ca = mdci[p].reshape(kd, 1, 1)
-        sa = mdsi[p].reshape(kd, 1, 1)
+        # dynamic row reads stay 2-D (1, KD) then transpose: Mosaic
+        # crashes lowering a 1-D dynamic read reshaped straight to 3-D
+        _row = lambda m: jnp.swapaxes(  # noqa: E731
+            m[pl.ds(p, 1), :], 0, 1).reshape(kd, 1, 1)
+        ca = _row(mdci)
+        sa = _row(mdsi)
         if fourier:
             sre, sim = s[:kd], s[kd:]
             zre = jnp.sum(sre * ca - sim * sa, axis=0)  # (CKH, KW)
@@ -156,8 +160,8 @@ def _resident_kernel(x_in, s0_ref, wcat_ref, wcc_ref, bias_ref, wpre_ref,
         ob = o.astype(jnp.bfloat16)
         m1 = _kdot(wp[0], ob)                           # (C, NPL) f32
         g1re, g1im = _fwd_hw(m1)
-        fa = mda[p].reshape(kd, 1, 1)
-        fb = mdb[p].reshape(kd, 1, 1)
+        fa = _row(mda)
+        fb = _row(mdb)
         if fourier:
             m2 = _kdot(wp[1], ob)
             g2re, g2im = _fwd_hw(m2)
