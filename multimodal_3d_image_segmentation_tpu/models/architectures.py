@@ -344,7 +344,13 @@ class NeuralOperatorSeg(_TransSegBase):
     use_pallas: bool = False
 
     def _use_fused_tower(self, x_cf):
+        # bf16 only: at fp32-'high' the fused path's packed bf16x3 dots
+        # triple the MXU work and measured SLOWER than the XLA module
+        # path (fused FNOSeg 79-86 ms vs 56 ms module), while at bf16
+        # the fused block wins ~2x (1.44 vs 2.61 ms/block). See
+        # docs/DESIGN.md §8b for the full measurement record.
         return (self.use_pallas and self.ndim == 5
+                and self.compute_dtype == "bfloat16"
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and self.weights_type == "shared"
                 and is_selu(self.activation)
@@ -385,22 +391,11 @@ class NeuralOperatorSeg(_TransSegBase):
                       for i, (op, w_cat, w_cc_t, b_cat)
                       in enumerate(blocks)]
 
-        # bf16 serving path without deep supervision: the whole tower in
-        # one VMEM-resident kernel (no per-block HBM round trips)
-        if x_flat.dtype == jnp.bfloat16 and not n_ds:
-            from ..kernels import tower_resident as tr
-            op_stack = jnp.stack([jnp.stack(list(op))
-                                  for (op, _, _, _) in blocks])
-            wcat_stack = jnp.stack([w for (_, w, _, _) in blocks])
-            wcc_stack = jnp.stack([w for (_, _, w, _) in blocks])
-            b_stack = jnp.stack([b for (_, _, _, b) in blocks])
-            x_flat = tr.resident_tower(x_flat, op_stack, wcat_stack,
-                                       wcc_stack, b_stack, spec, interpret)
-            kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1],
-                                  True, name="conv_out")()
-            mat = kern.reshape(x_flat.shape[1], self.out_channels)
-            x_flat = packed_high_dcn_mix(x_flat, mat)
-            return self._fused_exit(x_flat, sizes, image_size, in_dtype)
+        # NOTE: a VMEM-resident whole-tower variant exists
+        # (kernels/tower_resident.py) but measured SLOWER than this
+        # per-block scan (102.5 ms whole Fourier tower vs 1.44 ms/block
+        # here; its 121-plane fori_loop serializes into latency-bound
+        # small ops) — see docs/DESIGN.md §8b. Not routed.
 
         # one scan over stacked per-block weights: a single traced block
         # body (and a single Mosaic kernel compile) instead of 24
