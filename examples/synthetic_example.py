@@ -6,12 +6,21 @@ dataset in the BraTS'23 folder layout, writes split lists and a config,
 then runs the full pipeline.
 
 Usage:
-    python examples/synthetic_example.py [work_dir]
+    python examples/synthetic_example.py [work_dir] [--cpu]
+
+``--cpu`` forces the CPU backend (JAX_PLATFORMS is ignored by this
+stack) — lets the example run while the TPU is claimed by another
+process (only one TPU process at a time on this host).
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

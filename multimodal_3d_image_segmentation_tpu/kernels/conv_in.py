@@ -208,7 +208,9 @@ def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
     po = parts[0].reshape(dt, hh, f, w2)
     acc = (jnp.pad(pe, ((0, 0), (0, 1), (0, 0), (0, 0)))
            + jnp.pad(po, ((0, 0), (1, 0), (0, 0), (0, 0))))
-    out = acc + b_ref[:][None, None, :, None].astype(f32)
+    # cast BEFORE inserting the minor dim: Mosaic only supports
+    # non-no-op minor-dim insertion for 32-bit types (bf16 bias crashed)
+    out = acc + b_ref[:].astype(f32)[None, None, :, None]
     if apply_selu:
         out = _selu(out)
     o_ref[:] = out.astype(o_ref.dtype)

@@ -373,7 +373,10 @@ class NeuralOperatorSeg(_TransSegBase):
         modes = clip_modes(normalize_modes(self.num_modes, 3), sizes)
         spec = tb.make_tower_spec(self.transform_type, sizes, modes,
                                   self.filters, n_ds=n_ds)
-        f = tb.entry_forward_hw(x_flat, spec)
+        # fp32 spectrum regardless of compute dtype: the fused block
+        # kernel always emits f in fp32 (out_shape[1]), so a bf16 entry
+        # spectrum would break the scan's carry-type contract
+        f = tb.entry_forward_hw(x_flat, spec).astype(jnp.float32)
 
         n_blocks = self.num_transform_blocks
         blocks = [_TowerBlockParams(self.filters, self.transform_type,
@@ -620,11 +623,11 @@ class HartleyMHASeg(_TransSegBase):
         return x
 
 
-def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None):
-    """GroupNorm(1) + activation on a flat tensor. Borders may be dirty:
-    moment sums mask them inside the (fused) reductions and the static
-    valid count makes the stats exact. Output borders stay/become dirty —
-    downstream flat consumers sanitize.
+def _flat_gn_eff(y, g, scale, bias, eps=1e-5, stats=None):
+    """Effective per-channel (scale, shift) of GroupNorm(1) on a flat
+    tensor: ``normalize(y) == y * eff_scale + eff_shift``. Borders may be
+    dirty: moment sums mask them inside the (fused) reductions and the
+    static valid count makes the stats exact.
 
     ``stats``: optional kernel-emitted per-channel (2, C) moment sums
     (``conv3_flat(emit_stats=True)``) — skips the stats read pass."""
@@ -644,6 +647,13 @@ def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None):
     eff_scale = (inv * scale.astype(jnp.float32)).astype(y.dtype)
     eff_shift = (bias.astype(jnp.float32)
                  - m * inv * scale.astype(jnp.float32)).astype(y.dtype)
+    return eff_scale, eff_shift
+
+
+def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None):
+    """GroupNorm(1) + activation on a flat tensor (materialized). Output
+    borders stay/become dirty — downstream flat consumers sanitize."""
+    eff_scale, eff_shift = _flat_gn_eff(y, g, scale, bias, eps, stats)
     out = y * eff_scale[None, :, None] + eff_shift[None, :, None]
     act = get_activation(activation)
     return act(out) if act is not None else out
@@ -748,6 +758,14 @@ class _FlatConvNormAct(nn.Module):
     (odd-flat-plane slice + 0/1 lane-selection einsum, phase (2i, 2j));
     GroupNorm stats are computed on the decimated volume, matching the
     strided ConvNormAct in exact arithmetic.
+
+    ``pending`` (call kwarg): the previous chain conv's deferred
+    (eff_scale, eff_shift, act) — fused into this kernel's input
+    prologue (k=3, single input only). ``defer=True``: return
+    ``(y_raw, (eff_scale, eff_shift, act))`` instead of materializing
+    this conv's own norm+activation — the caller threads it into the
+    next conv in the chain, saving one full read+write of the volume
+    (XLA cannot fuse elementwise producers into a pallas_call input).
     """
     features: int
     g: object  # FlatGeom of the INPUT volume
@@ -756,8 +774,13 @@ class _FlatConvNormAct(nn.Module):
     use_snn: bool = False
     g_half: object = None
 
+    def _deferrable(self):
+        """Defer/prologue legal only for kernel activations."""
+        return (self.activation is None
+                or self.activation in ("elu", "selu", "relu", "none"))
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pending=None, defer=False):
         from ..kernels.conv3d_flat import conv3_flat
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
@@ -765,6 +788,9 @@ class _FlatConvNormAct(nn.Module):
         cin = sum(t.shape[1] for t in parts)
         kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
                                    snn, name="conv")()
+        assert pending is None or (self.kernel_size == 3
+                                   and len(parts) == 1)
+        assert not defer or self._deferrable()
         if self.kernel_size == 1:
             mat = kernel.reshape(cin, self.features)
             y = None
@@ -783,6 +809,10 @@ class _FlatConvNormAct(nn.Module):
             y = conv3_flat(x if len(parts) > 1 else parts[0],
                            kernel.astype(parts[0].dtype),
                            bias.astype(parts[0].dtype), self.g,
+                           prologue=(None if pending is None
+                                     else pending[:2]),
+                           prologue_act=(None if pending is None
+                                         else pending[2]),
                            emit_stats=want_stats)
             if want_stats:
                 y, kstats = y
@@ -797,12 +827,21 @@ class _FlatConvNormAct(nn.Module):
             planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
             y = _lane_select(planes, self.g, gh, "decimate2")
             g_out = gh
+        act_name = self.activation if isinstance(self.activation, str) \
+            else None
         if not self.use_snn:
             scale, gbias = _GNParams(self.features, name="norm")()
             stats = (kstats if (self.kernel_size != 1
                                 and self.g_half is None) else None)
+            if defer:
+                eff = _flat_gn_eff(y, g_out, scale, gbias, stats=stats)
+                return y, (eff[0], eff[1], act_name)
             return _flat_gn_act(y, g_out, scale, gbias, self.activation,
                                 stats=stats)
+        if defer:  # snn: no norm — defer the bare activation
+            one = jnp.ones((self.features,), y.dtype)
+            zero = jnp.zeros((self.features,), y.dtype)
+            return y, (one, zero, act_name)
         act = get_activation(self.activation)
         return act(y) if act is not None else y
 
@@ -1039,6 +1078,21 @@ class VNetDS(nn.Module):
                                     use_snn=self.use_snn, g_half=g_half,
                                     name=name)
 
+        act_ok = (self.activation is None
+                  or self.activation in ("elu", "selu", "relu", "none"))
+
+        def conv_chain(x0, filters, names, geom):
+            """k=3 conv chain with deferred norm+act between links: each
+            non-final conv hands its (eff_scale, eff_shift, act) to the
+            next kernel's prologue — no intermediate elementwise pass.
+            The first element of ``names``' input may be a (pair)."""
+            xc, pend = x0, None
+            for idx, name in enumerate(names):
+                d = act_ok and idx != len(names) - 1
+                out = conv(filters, name, geom)(xc, pending=pend, defer=d)
+                xc, pend = out if d else (out, None)
+            return xc
+
         num_sections = len(self.num_blocks)
         encode_tensors, encode_geoms = {}, {}
         right_leg, right_leg_ref, leg_geoms = [], {}, {}
@@ -1046,8 +1100,9 @@ class VNetDS(nn.Module):
         for i in range(num_sections):
             filters = base * (2 ** i)
             tmp = x if self.use_residual else None
-            for j in range(self.num_blocks[i]):
-                x = conv(filters, f"encode_{i}_conv_{j}", g)(x)
+            x = conv_chain(x, filters,
+                           [f"encode_{i}_conv_{j}"
+                            for j in range(self.num_blocks[i])], g)
             if tmp is not None:
                 x = x + conv(filters, f"encode_{i}_residual", g,
                              kernel_size=1)(tmp)
@@ -1077,9 +1132,9 @@ class VNetDS(nn.Module):
             # (up, skip) directly — the concatenated tensor never exists
             pair = (x, encode_tensors[i])
             tmp = pair if self.use_residual else None
-            x = conv(filters, f"decode_{i}_conv_0", g)(pair)
-            for j in range(1, self.num_blocks[i]):
-                x = conv(filters, f"decode_{i}_conv_{j}", g)(x)
+            x = conv_chain(pair, filters,
+                           [f"decode_{i}_conv_{j}"
+                            for j in range(self.num_blocks[i])], g)
             if tmp is not None:
                 x = x + conv(filters, f"decode_{i}_residual", g,
                              kernel_size=1)(tmp)

@@ -550,6 +550,20 @@ def dht_pad_inverse_flat(packed: jax.Array, g) -> jax.Array:
     return jnp.einsum("kqcn,kqd->dcn", x, mfold, precision=_prec(dt))
 
 
+# Packed single-pass mix gate. Default OFF: wiring it into every 1x1
+# mix measured the whole flagship at 30.8 ms vs 22.6 ms with plain
+# HIGH einsums (A/B probe, same session) — XLA materializes the
+# (d, 3C, n) bf16 concat operand to HBM, costing more traffic than the
+# three on-chip passes it saves. Kept A/B-able for future shapes where
+# the mix is MXU-bound rather than bandwidth-bound.
+PACKED_MIX = False
+
+
+def set_packed_mix(enabled: bool) -> None:
+    global PACKED_MIX
+    PACKED_MIX = bool(enabled)
+
+
 def packed_high_channel_mix(sub: str, x: jax.Array, mat: jax.Array,
                             channel_axis: int) -> jax.Array:
     """fp32 channel mix (1x1 conv) ``einsum(sub, x, mat)`` as ONE bf16
@@ -564,7 +578,8 @@ def packed_high_channel_mix(sub: str, x: jax.Array, mat: jax.Array,
     inputs are fp32; other cases fall back to the plain einsum.
     """
     ax = channel_axis % x.ndim
-    if x.dtype != jnp.float32 or PRECISION != jax.lax.Precision.HIGH \
+    if not PACKED_MIX or x.dtype != jnp.float32 \
+            or PRECISION != jax.lax.Precision.HIGH \
             or 3 * x.shape[ax] > 128 or jax.default_backend() != "tpu":
         # (CPU's dot thunk has no bf16xbf16->f32; HIGH there is fine.)
         return jnp.einsum(sub, x, mat.astype(x.dtype),

@@ -176,6 +176,35 @@ def test_model_fused_path_matches_module(monkeypatch, transform,
 
 
 @pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
+def test_model_fused_path_bf16(monkeypatch, transform):
+    """Whole-model bf16 fused path traces + runs (regression: the scan
+    carried a bf16 entry spectrum against the kernel's fp32 f output —
+    TypeError at trace time, seen only on the real-TPU routing gate)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 11, 9))
+                    .astype(np.float32))
+    ref = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                          transform,
+                                          compute_dtype="bfloat16")
+    fused = architectures.NeuralOperatorSeg(2, 3, 4, 3, (2, 2, 2),
+                                            transform, use_pallas=True,
+                                            compute_dtype="bfloat16")
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    want = ref.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    assert np.all(np.isfinite(np.asarray(got, np.float32)))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
 def test_model_fused_deep_supervision_matches_module(monkeypatch,
                                                      transform):
     """use_deep_supervision rides the kernel's packed dot (extra w_cat
