@@ -56,9 +56,8 @@ def _rows():
                      b[fam], dict(use_pallas=True)))
         if fam in spectral_towers:
             rows.append((fam, "fp32_high_module", b[fam], dict()))
-        if fam != "V-Net-DS":
-            rows.append((fam, "bf16_pallas", b[fam],
-                         dict(use_pallas=True, compute_dtype="bfloat16")))
+        rows.append((fam, "bf16_pallas", b[fam],
+                     dict(use_pallas=True, compute_dtype="bfloat16")))
     return rows
 
 
