@@ -167,7 +167,14 @@ def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
         # contracts only the lane dim, so it commutes with the D/H row
         # selections; 2 large dots beat 32 small per-phase ones).
         # Everything downstream works on w2 lanes.
-        if sel_precision == "bf16x2":
+        if mainf.dtype == jnp.bfloat16:
+            # bf16 data: ONE native pass (the 0/1 selection matrix is
+            # exact in bf16). Mosaic rejects HIGHEST ("Bad lhs type":
+            # fp32 contract precision on bf16 operands), so this branch
+            # is required, not just faster, under compute_dtype=bf16.
+            comp = jax.lax.dot(mainf, m_ref[kw].astype(jnp.bfloat16),
+                               preferred_element_type=f32)
+        elif sel_precision == "bf16x2":
             # The selection matrix is 0/1 — exact in bf16; only the data
             # side splits (hi+lo carries 16 of fp32's 24 mantissa bits,
             # ~1e-5 relative — the serving precision class). 2 MXU passes
