@@ -481,6 +481,10 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
 
     cwi = np.asarray(mats["mw_inv"][0], dt)
     swi = np.asarray(mats["mw_inv"][1], dt)
+    # compute in the volume dtype like the kernel does (the model feeds
+    # z in fp32; without this cast a bf16 replay would promote to fp32
+    # mid-chain and emit the wrong output dtypes for the VJP)
+    z = z.astype(dt)
     zre, zim = z[:, 0], z[:, 1]                   # (D, C, KH, KW)
     yre = jnp.einsum("dcxj,jw->dcxw", zre, cwi, precision=prec) \
         - jnp.einsum("dcxj,jw->dcxw", zim, swi, precision=prec)
@@ -504,9 +508,12 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
         jnp.einsum("dcn,oc->don", t, w_cc_t.astype(dt), precision=prec)
         + pq[:, c:])
 
-    f = entry_forward_hw(o, spec)
+    # match the kernel's output-dtype contract exactly (out in the input
+    # dtype; f and ds in fp32) so _fused_bwd's jax.vjp accepts the
+    # cotangents for bf16 inputs too
+    f = entry_forward_hw(o, spec).astype(jnp.float32)
     if spec.n_ds:
-        return o, f, ds
+        return o, f, ds.astype(jnp.float32)
     return o, f
 
 

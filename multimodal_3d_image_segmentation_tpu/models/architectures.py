@@ -192,6 +192,24 @@ class _TransSegBase(nn.Module):
         x = x.astype(in_dtype)
         return _apply_output_activation(x, self.output_activation, axis=1)
 
+    def _fused_tail(self, x_flat, ds, mds, bds, n_blocks, sizes,
+                    image_size, in_dtype):
+        """Shared fused-path tail: the last deep-supervision leg (the
+        final block's output projected by conv_ds's trailing rows) +
+        conv_ds bias + SELU, then the conv_out 1x1 mix and the exit."""
+        from .hnosegxs import _Conv1x1Weight
+        if ds is not None:
+            last = mds[n_blocks * self.filters:]
+            ds = ds + packed_high_dcn_mix(
+                x_flat.astype(jnp.float32), last)
+            ds = ds + bds.astype(jnp.float32)[None, :, None]
+            x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
+        kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
+                              name="conv_out")()
+        mat = kern.reshape(x_flat.shape[1], self.out_channels)
+        x_flat = packed_high_dcn_mix(x_flat, mat)
+        return self._fused_exit(x_flat, sizes, image_size, in_dtype)
+
     def _tower(self, x, make_block):
         snn = is_selu(self.activation)
         in_dtype = x.dtype
@@ -320,10 +338,12 @@ class NeuralOperatorSeg(_TransSegBase):
     ``use_pallas``: run the fused tower-block Pallas path
     (``kernels/tower_block.py``) — one HBM round trip per block instead
     of the module path's per-stage passes. Gated on: TPU, 3D, batch 1,
-    channel-first IO, shared weights, SELU, block skip+concat, no
-    conv-branch bias, no deep supervision; falls back to the module path
-    otherwise. Parameter trees are identical, so checkpoints are
-    interchangeable."""
+    ``compute_dtype='bfloat16'`` (at fp32 the module path measured
+    faster — docs/DESIGN.md §8b), channel-first IO, shared weights,
+    SELU, block skip+concat, no conv-branch bias; falls back to the
+    module path otherwise (deep supervision IS supported — it rides the
+    kernel's packed dot). Parameter trees are identical, so checkpoints
+    are interchangeable."""
     in_channels: int
     out_channels: int
     filters: int
@@ -360,7 +380,6 @@ class NeuralOperatorSeg(_TransSegBase):
 
     def _fused_tower_forward(self, x_cf):
         from ..kernels import tower_block as tb
-        from .hnosegxs import _Conv1x1Weight
         from ..ops.spectral import clip_modes, normalize_modes
 
         interpret = jax.default_backend() != "tpu"
@@ -382,6 +401,7 @@ class NeuralOperatorSeg(_TransSegBase):
         blocks = [_TowerBlockParams(self.filters, self.transform_type,
                                     name=f"layers_{i}")()
                   for i in range(n_blocks)]
+        mds = bds = None
         if n_ds:
             fan_in = self.filters * (n_blocks + 1)
             kds, bds = _CCHolder(self.out_channels, fan_in,
@@ -406,35 +426,25 @@ class NeuralOperatorSeg(_TransSegBase):
             lambda *xs: jnp.stack(xs), *blocks)
 
         def body(carry, wts):
-            xf, fv, ds = carry
+            xf, fv = carry[0], carry[1]
             op, w_cat, w_cc_t, b_cat = wts
             z = tb.block_spectrum_update(fv, op, spec)
             res = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
                                        spec, interpret)
-            xf, fv = res[0], res[1]
             if n_ds:
-                ds = ds + res[2]
-            return (xf, fv, ds), None
+                return (res[0], res[1], carry[2] + res[2]), None
+            return (res[0], res[1]), None
 
         d = sizes[0]
         npl = x_flat.shape[-1]
-        ds0 = jnp.zeros((d, max(n_ds, 1), npl), jnp.float32)
-        (x_flat, f, ds), _ = jax.lax.scan(body, (x_flat, f, ds0), stacked)
+        carry0 = (x_flat, f) + (
+            (jnp.zeros((d, n_ds, npl), jnp.float32),) if n_ds else ())
+        carry, _ = jax.lax.scan(body, carry0, stacked)
+        x_flat = carry[0]
+        ds = carry[2] if n_ds else None
 
-        if n_ds:
-            # the last block's output is the final deep-supervision leg
-            last = mds[n_blocks * self.filters:]
-            ds = ds + packed_high_dcn_mix(
-                x_flat.astype(jnp.float32), last)
-            ds = ds + bds.astype(jnp.float32)[None, :, None]
-            x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
-
-        kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
-                              name="conv_out")()
-        mat = kern.reshape(x_flat.shape[1], self.out_channels)
-        x_flat = packed_high_dcn_mix(x_flat, mat)
-
-        return self._fused_exit(x_flat, sizes, image_size, in_dtype)
+        return self._fused_tail(x_flat, ds, mds, bds, n_blocks, sizes,
+                                image_size, in_dtype)
 
     @nn.compact
     def __call__(self, x):
@@ -522,7 +532,15 @@ class HartleyMHASeg(_TransSegBase):
     use_pallas: bool = False
 
     def _use_fused_tower(self, x_cf):
+        from ..ops import spectral
         from ..ops.spectral import normalize_modes
+        # the kernel's fp32 dots are packed bf16x3 ('high'-class, ~1e-5
+        # rel.) — honor an explicit HIGHEST exactness request by serving
+        # the module path (fused wins only under the 'high' serving mode:
+        # 52.7 vs 67.1 ms, docs/DESIGN.md §8b)
+        if (self.compute_dtype != "bfloat16"
+                and spectral.PRECISION == jax.lax.Precision.HIGHEST):
+            return False
         if not (self.use_pallas and self.ndim == 5
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and is_selu(self.activation)
@@ -540,7 +558,6 @@ class HartleyMHASeg(_TransSegBase):
 
     def _fused_mha_forward(self, x_cf):
         from ..kernels import tower_block as tb
-        from .hnosegxs import _Conv1x1Weight
         from ..ops.spectral import normalize_modes
 
         interpret = jax.default_backend() != "tpu"
@@ -565,7 +582,7 @@ class HartleyMHASeg(_TransSegBase):
 
         d = sizes[0]
         npl = x_flat.shape[-1]
-        ds = jnp.zeros((d, max(n_ds, 1), npl), jnp.float32)
+        ds = jnp.zeros((d, n_ds, npl), jnp.float32) if n_ds else None
         c = self.filters
         # unrolled (flax modules per block); the pallas kernel is
         # identical across blocks so Mosaic compiles once
@@ -586,18 +603,8 @@ class HartleyMHASeg(_TransSegBase):
             if n_ds:
                 ds = ds + res[2]
 
-        if n_ds:
-            last = mds[n_blocks * c:]
-            ds = ds + packed_high_dcn_mix(
-                x_flat.astype(jnp.float32), last)
-            ds = ds + bds.astype(jnp.float32)[None, :, None]
-            x_flat = jax.nn.selu(ds).astype(x_flat.dtype)
-
-        kern = _Conv1x1Weight(self.out_channels, x_flat.shape[1], True,
-                              name="conv_out")()
-        mat = kern.reshape(x_flat.shape[1], self.out_channels)
-        x_flat = packed_high_dcn_mix(x_flat, mat)
-        return self._fused_exit(x_flat, sizes, image_size, in_dtype)
+        return self._fused_tail(x_flat, ds, mds, bds, n_blocks, sizes,
+                                image_size, in_dtype)
 
     @nn.compact
     def __call__(self, x):

@@ -65,9 +65,15 @@ def make_sharded_apply(model, mesh):
     def fwd(variables, x):
         return model.apply(variables, x)
 
+    # the non-divisible fallback runs replicated inside the mesh jit,
+    # where an unpartitioned pallas_call would hit the SPMD partitioner;
+    # route it through the (numerics-identical) XLA module path
+    fallback = (model.clone(use_pallas=False)
+                if getattr(model, "use_pallas", False) else model)
+
     def apply_fn(variables, x):
         if x.shape[0] % mesh.shape[DATA_AXIS]:
-            return model.apply(variables, x)  # replicated fallback
+            return fallback.apply(variables, x)  # replicated fallback
         in_spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return shard_map(fwd, mesh=mesh, in_specs=(P(), in_spec),
                          out_specs=in_spec, **_relax)(variables, x)

@@ -295,3 +295,34 @@ def test_fused_tower_train_step(monkeypatch):
         assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-2)
+
+
+def test_fused_tower_train_step_bf16(monkeypatch):
+    """Gradients flow through the fused tower at bf16 — the production
+    routing (the fused path is gated to bfloat16 on TPU). Regression:
+    the custom-VJP replay emitted bf16 f/ds cotangent shapes against the
+    kernel's fp32 outputs, so every bf16 train step crashed in vjp."""
+    from multimodal_3d_image_segmentation_tpu import losses
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    from multimodal_3d_image_segmentation_tpu.runtime import (
+        build_optimizer, create_train_state, make_train_step)
+
+    monkeypatch.setattr(
+        architectures.NeuralOperatorSeg, "_use_fused_tower",
+        lambda self, x: (self.use_pallas and x.shape[0] == 1
+                         and self.use_block_skip))
+    rng = np.random.default_rng(43)
+    x = jnp.asarray(rng.standard_normal((1, 2, 10, 9, 8))
+                    .astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, (1, 1, 10, 9, 8)).astype(np.int32))
+    fused = architectures.NeuralOperatorSeg(
+        2, 3, 4, 2, (2, 2, 2), "Hartley", use_pallas=True,
+        use_deep_supervision=True, compute_dtype="bfloat16")
+    params = fused.init(jax.random.PRNGKey(0), x)["params"]
+    tx = build_optimizer({"optimizer_name": "Adamax", "lr": 1e-3})
+    step = make_train_step(losses.pcc_loss, num_labels=3, donate=False)
+    state = create_train_state(fused, params, tx)
+    state2, loss = step(state, x, y)
+    assert np.isfinite(float(loss))
+    for a in jax.tree_util.tree_leaves(state2.params):
+        assert np.all(np.isfinite(np.asarray(a, np.float32)))

@@ -3,9 +3,12 @@ reference's published V100 numbers (reference README Fig. 1):
 HNOSeg-XS ~0.20-0.24 s, FNOSeg ~0.28 s, HNOSeg ~0.36 s, V-Net-DS ~0.33 s.
 
 Each family is measured at its SHIPPED config (``configs/*.ini``) plus
-the informational variants the README cites: the spectral towers get
-(fp32 'high' fused-Pallas), (fp32 'high' module/XLA) and (bf16 fused)
-rows; the flagship and V-Net additionally a bf16 row.
+the informational variants the README cites. Row labels state the code
+path actually exercised: at fp32, ``use_pallas`` on FNOSeg/HNOSeg
+serves the XLA module path (the fused tower kernel is gated to bf16 —
+docs/DESIGN.md §8b), so those families get one fp32 row; HartleyMHA
+(where the fused kernel wins at fp32 'high' too) gets fused-vs-module
+fp32 rows; every family gets a bf16 row.
 
 ``--artifact`` additionally writes ``BENCH_ZOO.json`` at the repo root so
 every README model-zoo claim is regenerable from a committed artifact:
@@ -46,18 +49,30 @@ def _builders():
 
 
 # (family, variant-label, kwargs). The first row per family is the
-# shipped configuration; the rest are the README's cited alternatives.
+# shipped configuration; labels name the code path actually measured.
 def _rows():
     b = _builders()
-    spectral_towers = ("FNOSeg", "HNOSeg", "HartleyMHA")
-    rows = []
-    for fam in ("HNOSeg-XS",) + spectral_towers + ("V-Net-DS",):
-        rows.append((fam, "fp32_high_pallas",
-                     b[fam], dict(use_pallas=True)))
-        if fam in spectral_towers:
-            rows.append((fam, "fp32_high_module", b[fam], dict()))
-        rows.append((fam, "bf16_pallas", b[fam],
-                     dict(use_pallas=True, compute_dtype="bfloat16")))
+    bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
+    rows = [
+        ("HNOSeg-XS", "fp32_high_pallas", b["HNOSeg-XS"],
+         dict(use_pallas=True)),
+        ("HNOSeg-XS", "bf16_pallas", b["HNOSeg-XS"], bf16),
+    ]
+    for fam in ("FNOSeg", "HNOSeg"):
+        # shipped fp32: use_pallas present but the fused tower is gated
+        # to bf16, so this IS the XLA module path — label it as such
+        rows.append((fam, "fp32_high_module", b[fam],
+                     dict(use_pallas=True)))
+        rows.append((fam, "bf16_fused_pallas", b[fam], bf16))
+    rows += [
+        ("HartleyMHA", "fp32_high_fused_pallas", b["HartleyMHA"],
+         dict(use_pallas=True)),
+        ("HartleyMHA", "fp32_high_module", b["HartleyMHA"], dict()),
+        ("HartleyMHA", "bf16_fused_pallas", b["HartleyMHA"], bf16),
+        ("V-Net-DS", "fp32_high_flat_pallas", b["V-Net-DS"],
+         dict(use_pallas=True)),
+        ("V-Net-DS", "bf16_flat_pallas", b["V-Net-DS"], bf16),
+    ]
     return rows
 
 

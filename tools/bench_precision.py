@@ -166,9 +166,9 @@ def main():
             mean_d = np.nanmean(dices, axis=0)
             rec = {"per_class_dice_mean":
                    [round(float(v), 5) for v in mean_d]}
-            if ref_dice is None:
+            if name == "fp32_highest":   # deltas ONLY vs the true oracle
                 ref_dice, ref_preds = mean_d, preds
-            else:
+            elif ref_dice is not None:
                 rec["dice_delta_vs_highest"] = [
                     round(float(v - r), 5)
                     for v, r in zip(mean_d, ref_dice)]
