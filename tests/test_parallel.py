@@ -217,3 +217,11 @@ def test_shard_map_apply_composes_pallas_with_dp(monkeypatch):
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3)
+
+    # non-divisible batch: the replicated fallback must route through
+    # the module path (an unpartitioned pallas_call inside the mesh jit
+    # would hit the SPMD partitioner) and still match numerics
+    x3 = x[:3]
+    want3 = np.asarray(ref.apply({"params": params}, x3))
+    got3 = np.asarray(jax.jit(apply_fn)(ps, x3))
+    np.testing.assert_allclose(got3, want3, atol=2e-4, rtol=1e-3)
