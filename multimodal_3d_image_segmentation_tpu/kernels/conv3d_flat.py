@@ -50,41 +50,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.flatvol import FlatGeom, flat_geom, from_flat, to_flat
+from ._common import elu as _elu, hi_lo as _split_bf16, selu as _selu
 
 __all__ = ["FlatGeom", "flat_geom", "to_flat", "from_flat", "conv3_flat",
            "apply_affine_act_flat"]
-
-_SELU_SCALE = 1.0507009873554804934193349852946
-_SELU_ALPHA = 1.6732632423543772848170429916717
 
 
 def _act_fn(name):
     if name is None or name == "none":
         return None
     if name == "elu":
-        def elu(x):
-            safe = jnp.where(x > 0, 0.0, x)
-            return jnp.where(x > 0, x, jnp.exp(safe) - 1.0)
-        return elu
+        return _elu
     if name == "selu":
-        def selu(x):
-            safe = jnp.where(x > 0, 0.0, x)
-            return _SELU_SCALE * jnp.where(
-                x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
-        return selu
+        return _selu
     if name == "relu":
         return lambda x: jnp.maximum(x, 0.0)
     raise ValueError(f"unsupported kernel activation: {name!r}")
 
 
-def _split_bf16(v):
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
 def _dot_f32(a, b, precision):
     dims = (((1,), (0,)), ((), ()))
+    if precision == "native":
+        # bf16 activations: ONE MXU pass (fp32 accumulation). The hi/lo
+        # split terms would be exactly zero for bf16-representable data
+        # — 2 of bf16x3's 3 passes compute nothing there.
+        return lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16), dims,
+                               preferred_element_type=jnp.float32)
     if precision == "bf16x3":
         ahi, alo = _split_bf16(a)
         bhi, blo = _split_bf16(b)
@@ -278,7 +270,7 @@ def _pack_w72(kernel):
     return w.reshape(3 * co, 9 * ci)
 
 
-def _dilate_d_flat(x_flat, g_out, d_src):
+def _dilate_d_flat(x_flat, d_src):
     """XLA reference for the dilated-depth mode: materialize the D-dilated
     flat volume (interior[2j] = src interior[j], odd planes zero)."""
     planes = x_flat[1:d_src + 1]
@@ -311,9 +303,18 @@ def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
 
     def f(xf, xs, k, b, pro):
         if dilated_depth is not None:
-            xf = _dilate_d_flat(xf, g, dilated_depth)
+            # concat + prologue BEFORE dilation: the kernel zeroes the
+            # inserted planes AFTER its prologue, so they are exact
+            # zeros — applying the prologue to an already-dilated volume
+            # would turn them into act(shift)
             if xs is not None:
-                xs = _dilate_d_flat(xs, g, dilated_depth)
+                xf = jnp.concatenate([xf, xs], axis=1)
+                xs = None
+            if pro is not None:
+                xf = apply_affine_act_flat(xf, pro[0], pro[1],
+                                           prologue_act)
+                pro = None
+            xf = _dilate_d_flat(xf, dilated_depth)
         return _conv3_xla_reference(xf, k, b, pro, g, prologue_act, x2=xs,
                                     emit_stats=emit_stats)
 
@@ -356,7 +357,10 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
         prologue: optional per-channel (scale, shift) applied to the input
             BEFORE the conv, followed by ``prologue_act`` — fuses the
             previous layer's GroupNorm+activation into this kernel.
-        precision: 'bf16x3' (default; ~5e-6 rel) or 'highest' (bf16x6).
+        precision: 'bf16x3' (default for fp32 inputs; ~5e-6 rel),
+            'highest' (bf16x6), or 'native' (one bf16 MXU pass with fp32
+            accumulation — auto-selected for bf16 inputs, matching the
+            module path's bf16 precision class and the sibling kernels).
         emit_stats: also return fp32 per-channel GroupNorm moment sums
             ``(2, co)`` = [sum(y), sum(y^2)] over the valid interior,
             accumulated inside the kernel — the following GroupNorm
@@ -373,6 +377,8 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
         x2 = None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if x_flat.dtype == jnp.bfloat16 and precision == "bf16x3":
+        precision = "native"
     return _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
                       prologue_act, bool(interpret), dilated_depth,
                       bool(emit_stats))

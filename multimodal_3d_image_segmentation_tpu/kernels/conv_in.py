@@ -29,16 +29,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import selu as _selu
+
 __all__ = ["conv_in_s2d"]
-
-_SELU_SCALE = 1.0507009873554804934193349852946
-_SELU_ALPHA = 1.6732632423543772848170429916717
-
-
-def _selu(x):
-    safe = jnp.where(x > 0, 0.0, x)
-    return _SELU_SCALE * jnp.where(x > 0, x,
-                                   _SELU_ALPHA * (jnp.exp(safe) - 1.0))
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, apply_selu=True):
@@ -123,7 +116,7 @@ def _build_w_select(w: int, w2: int) -> np.ndarray:
 
 
 def _raw_kernel(main_ref, w_ref, b_ref, m_ref, o_ref, prev_ref, *,
-                c, dt, gm, d, h, w, h2, w2, f, apply_selu=True,
+                c, dt, d, h, w, w2, f, apply_selu=True,
                 sel_precision="highest"):
     """Grid step i computes output depth rows [i*dt, (i+1)*dt) directly
     from the raw channel-first input: no XLA-side pad/reshape/transpose.
@@ -264,8 +257,8 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
                     for dz in range(2) for dy in range(2)])  # (4, 2, C, F)
     msel = np.asarray(_build_w_select(w, w2))  # numpy const
 
-    kern = functools.partial(_raw_kernel, c=c, dt=dt, gm=gm, d=d, h=h,
-                             w=w, h2=h2, w2=w2, f=f, apply_selu=apply_selu,
+    kern = functools.partial(_raw_kernel, c=c, dt=dt, d=d, h=h,
+                             w=w, w2=w2, f=f, apply_selu=apply_selu,
                              sel_precision=sel_precision)
     out = pl.pallas_call(
         kern,

@@ -27,20 +27,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import selu as _selu
+
 __all__ = ["fused_freq_chain"]
 
 _TILE = 512
-
-
-_SELU_SCALE = 1.0507009873554804934193349852946
-_SELU_ALPHA = 1.6732632423543772848170429916717
-
-
-def _selu(x):
-    """SELU via exp (Mosaic has no expm1 lowering)."""
-    safe = jnp.where(x > 0, 0.0, x)  # avoid exp overflow on the + branch
-    return _SELU_SCALE * jnp.where(
-        x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
 
 
 def _kernel(x_ref, w_ref, o_ref):

@@ -54,19 +54,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.spectral import _dft_mats_np, _prec
+from ._common import hi_lo as _hi_lo, selu as _selu
 
 __all__ = ["TowerSpec", "make_tower_spec", "fused_tower_block",
            "entry_forward_hw", "d_stage_forward", "d_stage_inverse",
            "block_spectrum_update", "to_tower_flat", "from_tower_flat"]
-
-_SELU_SCALE = 1.0507009873554804934193349852946
-_SELU_ALPHA = 1.6732632423543772848170429916717
-
-
-def _selu(x):
-    safe = jnp.where(x > 0, 0.0, x)  # Mosaic has no expm1
-    return _SELU_SCALE * jnp.where(
-        x > 0, x, _SELU_ALPHA * (jnp.exp(safe) - 1.0))
 
 
 def _ceil128(n: int) -> int:
@@ -171,12 +163,6 @@ def _spec_mats(spec: TowerSpec):
 # ---------------------------------------------------------------------------
 # packed-K bf16x3 helpers
 # ---------------------------------------------------------------------------
-
-def _hi_lo(v):
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
 
 def _pack_operand(x, axis):
     """fp32 operand -> bf16 [hi; hi; lo] along the contraction axis."""

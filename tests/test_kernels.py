@@ -251,6 +251,63 @@ def test_conv3_flat_gradients_match_xla():
     assert all(np.all(np.isfinite(np.asarray(t))) for t in gs)
 
 
+def test_conv3_flat_dilated_prologue_matches_xla():
+    """dilated_depth (transposed-conv input dilation) parity + gradients,
+    with and without a fused prologue. Regression: the backward reference
+    used to apply the prologue AFTER dilation, turning the structurally
+    inserted zero planes into act(shift) — a different function than the
+    kernel's forward (which zeroes them after its prologue)."""
+    from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat import (
+        apply_affine_act_flat, conv3_flat, flat_geom, to_flat,
+        _conv3_xla_reference, _dilate_d_flat)
+    rng = np.random.default_rng(17)
+    d_src, h, w, c, co = 4, 6, 7, 5, 4
+    g_src = flat_geom(d_src, h, w)
+    g_out = flat_geom(2 * d_src, h, w)
+    x = to_flat(jnp.asarray(rng.standard_normal((c, d_src, h, w)),
+                            jnp.float32), g_src)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(co) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c) * 0.1 + 1, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal(c) * 0.5, jnp.float32)
+
+    def want_fn(xf, kk, bb, sc, sh):
+        xr = xf if sc is None else apply_affine_act_flat(xf, sc, sh, "elu")
+        return _conv3_xla_reference(_dilate_d_flat(xr, d_src), kk, bb,
+                                    None, g_out, None)
+
+    # no-prologue forward parity
+    got = conv3_flat(x, k, b, g_out, dilated_depth=d_src)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want_fn(x, k, b, None, None)),
+        atol=5e-4, rtol=1e-3)
+
+    # prologue + dilation forward parity (nonzero shift is the case that
+    # exposed the ordering bug)
+    got_p = conv3_flat(x, k, b, g_out, prologue=(scale, shift),
+                       prologue_act="elu", dilated_depth=d_src)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(want_fn(x, k, b, scale, shift)),
+        atol=5e-4, rtol=1e-3)
+
+    # gradients of the kernel == autodiff of the correctly ordered
+    # reference, incl. wrt the prologue params
+    def loss_k(xf, kk, bb, sc, sh):
+        return jnp.sum(conv3_flat(xf, kk, bb, g_out,
+                                  prologue=(sc, sh), prologue_act="elu",
+                                  dilated_depth=d_src) ** 2)
+
+    def loss_r(xf, kk, bb, sc, sh):
+        return jnp.sum(want_fn(xf, kk, bb, sc, sh) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, shift)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, shift)
+    for a, bb in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_vnetds_flat_trains(monkeypatch):
     """One optimization step through the flat path decreases the loss
     (gradients flow through kernels via the custom VJPs)."""
