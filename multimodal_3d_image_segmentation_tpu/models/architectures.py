@@ -33,7 +33,7 @@ from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
-from ..ops.spectral import _prec, packed_high_dcn_mix
+from ..ops.spectral import (_prec, flat_concat_mix, packed_high_dcn_mix)
 
 __all__ = ["VNetDS", "NeuralOperatorSeg", "HartleyMHASeg",
            "NeuralOperatorBlock", "HartleyMHABlock"]
@@ -800,13 +800,8 @@ class _FlatConvNormAct(nn.Module):
         assert not defer or self._deferrable()
         if self.kernel_size == 1:
             mat = kernel.reshape(cin, self.features)
-            y = None
-            off = 0
-            for t in parts:  # virtual concat: per-part einsums, summed
-                c = t.shape[1]
-                part = packed_high_dcn_mix(t, mat[off:off + c])
-                y = part if y is None else y + part
-                off += c
+            # virtual concat: per-part einsums, summed
+            y = flat_concat_mix(parts, mat)
             y = y + bias.astype(y.dtype)[None, :, None]
         else:
             # stats fused in-kernel when a same-geometry GroupNorm

@@ -34,10 +34,9 @@ from ..ops.flatvol import FlatGeom, flat_geom, from_flat, to_flat
 from ..ops.operators import HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear
-from ..ops.spectral import (_prec, clip_modes, dht_crop, dht_crop_flat,
+from ..ops.spectral import (clip_modes, dht_crop, dht_crop_flat,
                             dht_pad_inverse, dht_pad_inverse_flat,
-                            normalize_modes, packed_high_dcn_mix,
-                            spatial_axes)
+                            flat_concat_mix, normalize_modes)
 
 __all__ = ["HNOSegXS", "HNOXSBlock"]
 
@@ -138,13 +137,7 @@ class _FlatConcatConv(nn.Module):
         kernel, bias = _ConvParams(self.features, self.fan_in, 1,
                                    self.snn_init, name="conv")()
         mat = kernel.reshape(self.fan_in, self.features)
-        y = None
-        off = 0
-        for xi in inputs:
-            c = xi.shape[1]
-            part = packed_high_dcn_mix(xi, mat[off:off + c])
-            y = part if y is None else y + part
-            off += c
+        y = flat_concat_mix(inputs, mat)
         y = y + bias.astype(y.dtype)[None, :, None]
         if self.apply_act:
             y = jax.nn.selu(y)
@@ -394,13 +387,7 @@ class HNOSegXS(nn.Module):
         kern = _Conv1x1Weight(self.out_channels, fan_in, True,
                               name="conv_out")()
         mat = kern.reshape(fan_in, self.out_channels)
-        y = None
-        off = 0
-        for t in feats:
-            c = t.shape[1]
-            part = packed_high_dcn_mix(t, mat[off:off + c])
-            y = part if y is None else y + part
-            off += c
+        y = flat_concat_mix(feats, mat)
 
         # tail: tiny channel count -> unflatten + channel-first resize
         x = from_flat(y, g)[None]                     # (1, out, D2, H2, W2)

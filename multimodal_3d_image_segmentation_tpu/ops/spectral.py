@@ -50,9 +50,16 @@ __all__ = [
     "rfft_crop",
     "rfft_pad_inverse",
     "packed_reverse",
+    "extended_reverse",
     "extended_reverse_perm",
     "extended_to_packed",
     "spatial_axes",
+    "dht_crop_flat",
+    "dht_pad_inverse_flat",
+    "set_packed_mix",
+    "packed_high_channel_mix",
+    "packed_high_dcn_mix",
+    "flat_concat_mix",
 ]
 
 # Precision for the spectral matmuls. The DFT contraction sums O(n) terms of
@@ -154,19 +161,6 @@ def _dft_mats_np(n: int, m: int, forward: bool, extended: bool,
 _LETTERS = "abcdefghijklmnop"
 
 
-def _tdot(x, mat, axis):
-    """Contract ``axis`` of x with mat's first axis; keep axis position.
-
-    Emitted as a single einsum (one dot_general) so XLA assigns layouts
-    itself instead of materializing transpose / moveaxis pairs around the
-    contraction.
-    """
-    subs = _LETTERS[:x.ndim]
-    out = subs[:axis] + "z" + subs[axis + 1:]
-    eq = f"{subs},{subs[axis]}z->{out}"
-    return jnp.einsum(eq, x, mat, precision=_prec(x.dtype))
-
-
 def _cas_chain(x, stages):
     """Run a pruned separable e^{i theta}-factor transform on a real tensor,
     carrying the complex pair as one extra tensor axis of size 2 (inserted
@@ -181,6 +175,11 @@ def _cas_chain(x, stages):
                separate subtraction pass touches the big output),
       'single' real -> real (one-axis transform, fold pre-applied).
     """
+    # The comp axis is carried at position 1, so transformed axes must be
+    # >= 1 (axis 0 with a 'first' stage would silently sum over the kept
+    # modes — the einsum reduces any label appearing only on the matrix)
+    assert all(st[0] >= 1 for st in stages), (
+        "transform axes must be >= 1 (axis 0 is the leading/batch axis)")
     # If the first stage is already complex->*, the caller passed x with
     # the comp axis pre-inserted at position 1 (e.g. rfft inverse).
     has_comp = stages[0][1] in ("mid", "fold") if stages else False
@@ -241,9 +240,16 @@ def _stage_matrix(c, s, kind, dtype, final_weights=None):
 def _axis_order(pairs, forward):
     """Process axes so intermediates stay small: for the forward transform
     contract the axis with the largest reduction first; for the inverse
-    expand the axis with the largest expansion last."""
-    return sorted(pairs, key=lambda t: t[1] / max(t[2], 1),
-                  reverse=forward)
+    expand the axis with the largest expansion last.
+
+    Both orders sort descending on n_in/n_out: forward pairs carry
+    (n, 2m) so that is reduction-first; inverse pairs carry (2m, n) so
+    the largest expansion (smallest ratio) lands last. (``forward`` kept
+    for call-site readability; a previous ascending inverse sort
+    expanded the largest axis FIRST — ~38% extra contraction FLOPs at
+    flagship inverse shapes.)"""
+    del forward
+    return sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=True)
 
 
 def _kinds(n_stages: int):
@@ -379,7 +385,9 @@ def rfft_pad_inverse(re: jax.Array, im: jax.Array, sizes: Sequence[int],
         assert n >= 2 * m
         c, s = _dft_mats_np(int(n), int(m), False, False, +1)
         pairs.append((ax, 2 * m, n, c, s))
-    order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=False)
+    # descending (2m)/n: largest expansion last, keeping intermediates
+    # small (same fix as _axis_order)
+    order = sorted(pairs, key=lambda t: t[1] / max(t[2], 1), reverse=True)
     stages = [(ax, "mid", _stage_matrix(c, s, "mid", dt))
               for ax, _, _, c, s in order]
 
@@ -546,7 +554,8 @@ def dht_pad_inverse_flat(packed: jax.Array, g) -> jax.Array:
 
     cd, sd = _dft_mats_np(g.d, md, False, False, -1)
     mfold = _stage_matrix(cd, sd, "fold", dt)
-    mfold = jnp.pad(mfold, ((0, 0), (0, 0), (1, 1)))  # zero cols at D pads
+    # numpy pad: keep the constant host-side (see _stage_matrix note)
+    mfold = np.pad(mfold, ((0, 0), (0, 0), (1, 1)))  # zero cols at D pads
     return jnp.einsum("kqcn,kqd->dcn", x, mfold, precision=_prec(dt))
 
 
@@ -597,3 +606,18 @@ def packed_high_channel_mix(sub: str, x: jax.Array, mat: jax.Array,
 def packed_high_dcn_mix(x: jax.Array, mat: jax.Array) -> jax.Array:
     """Flat-layout ``einsum('dcn,co->don')`` via packed_high_channel_mix."""
     return packed_high_channel_mix("dcn,co->don", x, mat, channel_axis=1)
+
+
+def flat_concat_mix(parts, mat: jax.Array) -> jax.Array:
+    """Virtual-concat 1x1 channel mix on flat ``(D, C_i, N)`` tensors:
+    the sum of per-part mixes against consecutive row blocks of ``mat``
+    (``(sum C_i, C_out)``) — the HBM concat never materializes."""
+    y = None
+    off = 0
+    for t in parts:
+        c = t.shape[1]
+        part = packed_high_dcn_mix(t, mat[off:off + c])
+        y = part if y is None else y + part
+        off += c
+    assert off == mat.shape[0]
+    return y
