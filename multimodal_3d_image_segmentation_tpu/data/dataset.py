@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import math
 import multiprocessing
-import os
 from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
@@ -75,14 +74,16 @@ _WORKER_DATASET = None
 def _worker_init(dataset):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
-    # reseed augmentation per worker so workers don't replay the same stream
-    if dataset.transform is not None and hasattr(dataset.transform, "rng"):
-        seed = np.random.SeedSequence(
-            [os.getpid(), int.from_bytes(os.urandom(4), "little")])
-        dataset.transform.rng = np.random.default_rng(seed)
 
 
-def _worker_get(idx):
+def _worker_get(idx, aug_seed=None):
+    # per-task augmentation stream: deterministic for a given config
+    # seed regardless of worker count/scheduling (an os.urandom per-
+    # worker reseed used to silently break the documented "same seed ->
+    # same augmentation sequence" contract whenever num_workers > 0)
+    tf = _WORKER_DATASET.transform
+    if aug_seed is not None and tf is not None and hasattr(tf, "rng"):
+        tf.rng = np.random.default_rng(np.random.SeedSequence(aug_seed))
     return _WORKER_DATASET[idx]
 
 
@@ -128,21 +129,29 @@ class _Flow:
                 yield self._collate([self.dataset[j] for j in idxs])
             return
 
+        # per-task augmentation seeds, drawn in submission order from the
+        # flow's own rng: reproducible for a fixed flow seed, independent
+        # of which worker picks up which task
+        has_aug = (self.dataset.transform is not None
+                   and hasattr(self.dataset.transform, "rng"))
+
+        def _submit(k):
+            seed = (int(self._rng.integers(2 ** 63)) if has_aug else None)
+            return self._pool.submit(_worker_get, int(order[k]), seed)
+
         # submit-ahead window of ~2 batches per worker
         window = max(2 * self.num_workers, self.batch_size)
         futures = {}
         submitted = 0
         for _ in range(min(window, n)):
-            futures[submitted] = self._pool.submit(_worker_get,
-                                                   int(order[submitted]))
+            futures[submitted] = _submit(submitted)
             submitted += 1
 
         batch = []
         for i in range(n):
             sample = futures.pop(i).result()
             if submitted < n:
-                futures[submitted] = self._pool.submit(
-                    _worker_get, int(order[submitted]))
+                futures[submitted] = _submit(submitted)
                 submitted += 1
             batch.append(sample)
             if len(batch) == self.batch_size or i == n - 1:
@@ -223,6 +232,13 @@ class InputData:
     def _get_image_size(self, data):
         if data is None:
             return None
+        from .nifti import read_img, read_shape
+        if self.reader is read_img:
+            # header-only probe: no full read/decompress just for a shape
+            try:
+                return read_shape(data[0][0])
+            except Exception:
+                pass  # non-NIfTI path despite the NIfTI reader — full read
         return self.reader(data[0][0]).shape
 
     def get_train_image_size(self):

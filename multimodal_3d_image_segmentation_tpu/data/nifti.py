@@ -26,7 +26,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["NiftiImage", "read_image", "read_images", "read_img",
-           "write_image", "get_spacing"]
+           "write_image", "get_spacing", "read_shape"]
 
 _DTYPES = {
     2: np.uint8,
@@ -172,6 +172,30 @@ def read_img(filename) -> np.ndarray:
 def get_spacing(filename) -> Tuple[float, ...]:
     """Spacing in (x, y, z), like ``sitk.ReadImage(fn).GetSpacing()``."""
     return read_image(filename).spacing
+
+
+def read_shape(filename) -> Tuple[int, ...]:
+    """Volume shape in (z, y, x) from the 348-byte header alone — for
+    .gz only the first deflate block streams, so probing shapes does not
+    decompress whole volumes (InputData startup probes every split)."""
+    with _open_maybe_gzip(filename) as f:
+        raw = f.read(352)
+    if len(raw) < 348:
+        raise ValueError(f"{filename}: too short for a NIfTI-1 file")
+    if struct.unpack_from("<i", raw, 0)[0] == 348:
+        bo = "<"
+    elif struct.unpack_from(">i", raw, 0)[0] == 348:
+        bo = ">"
+    else:
+        raise ValueError(f"{filename}: not a NIfTI-1 file")
+    dim = struct.unpack_from(bo + "8h", raw, 40)
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{filename}: bad ndim {ndim}")
+    shape_xyz = tuple(int(d) for d in dim[1:1 + ndim])
+    while len(shape_xyz) > 3 and shape_xyz[-1] == 1:
+        shape_xyz = shape_xyz[:-1]
+    return shape_xyz[::-1]
 
 
 def write_image(array: np.ndarray, filename,

@@ -32,10 +32,12 @@ def normalize_data(data, mask_val=None, clip_val: Optional[Tuple] = None
         if sel.size == 0:
             return np.zeros_like(data)
         mean, std = sel.mean(), sel.std()
-        out = (data - mean) / std
+        std = std if std > 0 else 1.0  # constant modality: no inf/NaN
+        out = (data - mean) / std      # (matches the native path's guard)
         out[mask] = 0.0  # mean 0 / std 1 after normalization
         return np.asarray(out, dtype=np.float32)
     mean, std = data.mean(), data.std()
+    std = std if std > 0 else 1.0
     return np.asarray((data - mean) / std, dtype=np.float32)
 
 

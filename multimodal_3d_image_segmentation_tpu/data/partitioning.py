@@ -115,12 +115,14 @@ def run(config_file):
     os.makedirs(output_dir, exist_ok=True)
     save_config(config_args, output_dir)
 
+    # .get with partitioning()'s own defaults: a config may legitimately
+    # omit a fraction (it defaults to 0.0 in the split itself)
     save_files(train_all, output_dir,
-               f"train-{partition_args['train_fraction']}")
+               f"train-{partition_args.get('train_fraction', 0.0)}")
     save_files(valid_all, output_dir,
-               f"valid-{partition_args['valid_fraction']}")
+               f"valid-{partition_args.get('valid_fraction', 0.0)}")
     save_files(test_all, output_dir,
-               f"test-{partition_args['test_fraction']}")
+               f"test-{partition_args.get('test_fraction', 0.0)}")
     print("Done!\n")
 
 

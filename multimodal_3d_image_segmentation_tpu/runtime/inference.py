@@ -37,7 +37,8 @@ def run_inference(config_args):
     output_dir = os.path.expanduser(config_args["main"]["output_dir"])
 
     input_lists = copy.deepcopy(config_args["input_lists"])
-    data_dir = os.path.expanduser(input_lists.get("data_dir"))
+    data_dir = input_lists.get("data_dir")  # None = lists hold full paths
+    data_dir = os.path.expanduser(data_dir) if data_dir else data_dir
     data_lists_test = get_data_lists(
         input_lists.get("data_lists_test_paths"), data_dir)
 
@@ -73,7 +74,6 @@ def run_inference(config_args):
     test_args = copy.deepcopy(config_args.get("test", {}))
     test_dir = os.path.join(output_dir,
                             test_args.pop("output_folder", "inference"))
-    test_args.pop("is_print", None)
     testing(model=model, params=params, input_data=input_data,
             output_dir=test_dir, mesh=mesh, **test_args)
 

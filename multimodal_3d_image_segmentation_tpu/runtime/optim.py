@@ -86,16 +86,20 @@ def build_optimizer(optimizer_args: Dict[str, Any],
 
     betas = args.pop("betas", (0.9, 0.999))
     eps = args.pop("eps", 1e-8)
-    weight_decay = args.pop("weight_decay", 0.0)
+    # None = key absent; an explicit 0.0 must mean ZERO decay (a falsy-or
+    # fallback would silently re-enable AdamW's default 1e-2)
+    weight_decay = args.pop("weight_decay", None)
 
     if name == "Adamax":
         tx = optax.adamax(lr, b1=betas[0], b2=betas[1], eps=eps)
     elif name == "Adam":
         tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
     elif name == "AdamW":
+        # torch AdamW's default decay is 1e-2 when the config omits it
+        wd = 1e-2 if weight_decay is None else weight_decay
         tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
-                         weight_decay=weight_decay or 1e-2)
-        weight_decay = 0.0
+                         weight_decay=wd)
+        weight_decay = None
     elif name == "SGD":
         tx = optax.sgd(lr, momentum=args.pop("momentum", 0.0),
                        nesterov=args.pop("nesterov", False))
@@ -105,6 +109,6 @@ def build_optimizer(optimizer_args: Dict[str, Any],
     else:
         raise ValueError(f"Unknown optimizer {name!r}")
 
-    if weight_decay:
+    if weight_decay:  # torch semantics: decay 0.0 by default elsewhere
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     return tx

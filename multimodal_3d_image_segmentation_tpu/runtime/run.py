@@ -93,7 +93,8 @@ def run(config_args):
 
     # Input data
     input_lists = copy.deepcopy(config_args["input_lists"])
-    data_dir = os.path.expanduser(input_lists.get("data_dir"))
+    data_dir = input_lists.get("data_dir")  # None = lists hold full paths
+    data_dir = os.path.expanduser(data_dir) if data_dir else data_dir
     data_lists_train = get_data_lists(
         input_lists.get("data_lists_train_paths"), data_dir)
     data_lists_valid = get_data_lists(

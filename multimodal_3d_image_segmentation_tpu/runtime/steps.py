@@ -67,9 +67,12 @@ def make_sharded_apply(model, mesh):
 
     # the non-divisible fallback runs replicated inside the mesh jit,
     # where an unpartitioned pallas_call would hit the SPMD partitioner;
-    # route it through the (numerics-identical) XLA module path
-    fallback = (model.clone(use_pallas=False)
-                if getattr(model, "use_pallas", False) else model)
+    # route it through the (numerics-identical) XLA module path. Clear
+    # every kernel-routing flag the model may carry (HNOSegXS's
+    # use_flat also reaches pallas_call independently of use_pallas).
+    _kernel_flags = {f: False for f in ("use_pallas", "use_flat")
+                     if getattr(model, f, False)}
+    fallback = model.clone(**_kernel_flags) if _kernel_flags else model
 
     def apply_fn(variables, x):
         if x.shape[0] % mesh.shape[DATA_AXIS]:

@@ -227,20 +227,31 @@ def training(model, input_data, output_dir, loss_fn, tx,
                 f"num_epochs ({num_epochs})")
         if is_print:
             print(f"Checkpoint loaded for epoch {start_epoch}")
-        # Truncate stdout.txt after the last checkpoint marker so the
-        # regex-parsed loss curves stay consistent
-        # (reference ``experiments/train_test.py:90-100``).
+        # Truncate stdout.txt after the checkpoint marker of the epoch
+        # actually restored so the regex-parsed loss curves stay
+        # consistent (reference ``experiments/train_test.py:90-100``).
+        # Saves are asynchronous, so the log's LAST marker can belong to
+        # a write that never committed (crash between tee and the
+        # background os.replace) — match the marker to the restored
+        # epoch, falling back to the last marker.
         if os.path.exists(stdout_file):
             with open(stdout_file) as f:
-                lines = f.readlines()[::-1]
-            idx = None
+                lines = f.readlines()
+            cur = None
+            idx = last_any = None
             for i, ln in enumerate(lines):
+                m = re.match(r"Epoch:\s*(\d+)", ln.strip())
+                if m:
+                    cur = int(m.group(1))
                 if "checkpoint" in ln:
-                    idx = i
-                    break
+                    last_any = i
+                    if cur == epoch:
+                        idx = i
+            if idx is None:
+                idx = last_any
             if idx is not None:
                 with open(stdout_file, "w") as f:
-                    f.writelines(lines[idx:][::-1])
+                    f.writelines(lines[:idx + 1])
     else:
         start_epoch = 0
         min_loss = float("inf")
@@ -299,19 +310,24 @@ def training(model, input_data, output_dir, loss_fn, tx,
         valid_loss = float(np.mean([float(l) for l in valid_losses]))
         tee(f"valid_loss: {valid_loss}")
 
-        if (epoch + 1) % checkpoint_epoch == 0:
-            ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
-            tee("Standard checkpoint saved.")
-
+        # best-model selection BEFORE the periodic checkpoint save, so a
+        # checkpoint written at an epoch that is also a new best carries
+        # the updated min_loss/best_epoch (stale metadata would make a
+        # resumed run re-select a worse 'best' and overwrite the export)
         selection_epoch = int(num_epochs * selection_epoch_portion)
-        if ((epoch > selection_epoch or epoch == num_epochs - 1)
-                and valid_loss < min_loss):
+        is_best = ((epoch > selection_epoch or epoch == num_epochs - 1)
+                   and valid_loss < min_loss)
+        if is_best:
             min_loss = valid_loss
             best_epoch = epoch
             params_ckpt.save_params(model_path, state.params)
-            if (epoch + 1) % checkpoint_epoch != 0:
-                ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
-                tee("Best checkpoint saved.")
+
+        if (epoch + 1) % checkpoint_epoch == 0:
+            ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
+            tee("Standard checkpoint saved.")
+        elif is_best:
+            ckpt.save(chkpt_path, state, epoch, min_loss, best_epoch)
+            tee("Best checkpoint saved.")
 
     end_time = time.time()
     ckpt.wait()
@@ -486,9 +502,13 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
     end_time = time.time()
 
     if save_npz:
+        arrays = {"y_pred": np.stack(npz_pred)}
+        if all(t is not None for t in npz_true):
+            arrays["y_true"] = np.stack(npz_true)
+        # unlabeled test sets have no y_true; stacking Nones would build
+        # a corrupt object array
         np.savez_compressed(os.path.join(output_dir, "y_true_pred.npz"),
-                            y_true=np.stack(npz_true),
-                            y_pred=np.stack(npz_pred))
+                            **arrays)
     peak_mib, in_use_mib = _device_memory_stats()
     avg_time = float(np.mean(predict_times)) if predict_times else float("nan")
 
