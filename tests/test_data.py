@@ -183,6 +183,33 @@ def test_flow_multiprocess_workers(tmp_path):
     flow.close()
 
 
+def test_flow_worker_augmentation_reproducible(tmp_path):
+    """Same config seed -> same augmented batches with num_workers > 0
+    (regression: per-worker os.urandom reseeding silently broke the
+    documented reproducibility contract)."""
+    lists = _make_npy_dataset(tmp_path, n=5)
+
+    def run_once():
+        input_data = InputData(
+            reader=np.load, data_lists_train=lists, idx_x_modalities=[0],
+            idx_y_modalities=[1], batch_size=2, num_workers=2, seed=7,
+            transform_kwargs=dict(shift_range=[.3, .3, .3],
+                                  rotation_range=[20., 20., 20.], seed=7,
+                                  augmentation_probability=1.0))
+        flow = input_data.get_train_flow(shuffle=True)
+        out = [np.array(bx) for bx, _ in flow]
+        flow.close()
+        return out
+
+    a, b = run_once(), run_once()
+    assert len(a) == len(b)
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+    # and the augmentation actually ran (shift/rotation changed voxels)
+    raw = np.load(lists[0][0])
+    assert not np.array_equal(a[0][0, 0], raw)
+
+
 # -- partitioning ------------------------------------------------------------
 
 def test_natural_sorted():
