@@ -94,8 +94,23 @@ def get_loss(loss_name: str, **kwargs):
     if loss_name in _LOSSES:
         return _LOSSES[loss_name](**kwargs)
     if loss_name in ("CrossEntropyLoss", "cross_entropy"):
+        weight = kwargs.pop("weight", None)
+        if kwargs:  # the reference forwards kwargs to torch.nn losses —
+            # never drop a configured loss argument silently
+            raise ValueError(
+                f"Unsupported cross-entropy args: {sorted(kwargs)}")
+        w = None if weight is None else jnp.asarray(weight, jnp.float32)
+
         def ce(y_pred, y_true):
             logp = jnp.log(jnp.clip(y_pred, _EPS, 1.0))
-            return -jnp.mean(jnp.sum(y_true * logp, axis=1))
+            if w is None:
+                return -jnp.mean(jnp.sum(y_true * logp, axis=1))
+            # torch CrossEntropyLoss(weight=...) 'mean': each voxel's
+            # loss scaled by its true class's weight, normalized by the
+            # summed weights
+            wc = w.reshape((1, -1) + (1,) * (y_true.ndim - 2))
+            per_w = -jnp.sum(y_true * (logp * wc), axis=1)
+            pix_w = jnp.sum(y_true * wc, axis=1)
+            return jnp.sum(per_w) / jnp.sum(pix_w)
         return ce
     raise ValueError(f"Unknown loss {loss_name!r}")

@@ -221,27 +221,37 @@ def statistics_regional(y_true, y_pred, y_list_test, output_dir,
         print("Spacings are obtained from image files.")
 
     metrics_all = defaultdict(list)
-    for labs in region_labels:
-        metrics = defaultdict(list)
-        if nproc:  # nproc in (None, 0) -> serial
-            partial_fn = partial(compute_regional_metrics, labels=labs,
-                                 use_surface_dice=use_surface_dice,
-                                 use_hd95=use_hd95)
-            # spawn: fork() in a threaded (JAX) process risks deadlock
-            ctx = multiprocessing.get_context("spawn")
-            with ctx.Pool(processes=nproc) as pool:
-                results = pool.starmap(partial_fn,
-                                       zip(y_true, y_pred, spacing))
-            for res in results:
+    if nproc:  # nproc in (None, 0) -> serial
+        # ONE pool for all regions: spawn workers pay full interpreter
+        # startup + imports, so fan the (sample x region) grid into a
+        # single starmap instead of a fresh pool per region
+        partial_fn = partial(compute_regional_metrics,
+                             use_surface_dice=use_surface_dice,
+                             use_hd95=use_hd95)
+        tasks = [(yt, yp, sp, labs)
+                 for labs in region_labels
+                 for yt, yp, sp in zip(y_true, y_pred, spacing)]
+        # spawn: fork() in a threaded (JAX) process risks deadlock
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(processes=nproc) as pool:
+            results = pool.starmap(partial_fn, tasks)
+        n = len(y_true)
+        for r, labs in enumerate(region_labels):
+            metrics = defaultdict(list)
+            for res in results[r * n:(r + 1) * n]:
                 for k, v in res.items():
                     metrics[k].append(v)
-        else:
+            for k, v in metrics.items():
+                metrics_all[k].append(np.array(v)[:, None])
+    else:
+        for labs in region_labels:
+            metrics = defaultdict(list)
             for yt, yp, sp in zip(y_true, y_pred, spacing):
                 for k, v in compute_regional_metrics(
                         yt, yp, sp, labs, use_surface_dice, use_hd95).items():
                     metrics[k].append(v)
-        for k, v in metrics.items():
-            metrics_all[k].append(np.array(v)[:, None])
+            for k, v in metrics.items():
+                metrics_all[k].append(np.array(v)[:, None])
 
     metrics_all = {k: np.concatenate(v, axis=1) for k, v in metrics_all.items()}
     num_labels = metrics_all["dice"].shape[1]

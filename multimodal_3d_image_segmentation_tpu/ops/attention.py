@@ -123,7 +123,11 @@ class HartleyMultiHeadAttention(nn.Module):
         value_in_channels = self.value_in_channels or key_in_channels
 
         def proj_param(name, out_dim, in_dim):
-            fan_in = in_dim
+            # torch fan-in of a (heads, out, in) tensor is
+            # size(1) * prod(size(2:)) = out_dim * in_dim (the reference
+            # kaiming_uniform_'s these 3-D tensors directly,
+            # ``nets/hartley_mha.py:92-98,126``)
+            fan_in = out_dim * in_dim
             init = (inits.kaiming_normal_linear(fan_in) if self.snn_init
                     else inits.kaiming_uniform_a5(fan_in))
             return self.param(name, init, (self.num_heads, out_dim, in_dim))

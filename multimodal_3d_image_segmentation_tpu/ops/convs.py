@@ -85,10 +85,14 @@ class Conv(nn.Module):
                 padding = "SAME"
             else:
                 padding = [(kk // 2, kk // 2) for kk in k]
+            # _prec honors the fp32-exact contract (HIGHEST unless the
+            # serving config opts down); without it fp32 convs run
+            # single-pass bf16 multiplies on TPU
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype),
                 window_strides=s, padding=padding,
-                dimension_numbers=_dim_numbers(nd))
+                dimension_numbers=_dim_numbers(nd),
+                precision=_prec(x.dtype))
 
         if self.use_bias:
             b_init = (inits.snn_bias() if self.snn_init
@@ -133,7 +137,8 @@ class ConvTranspose(nn.Module):
             x, flipped.astype(x.dtype),
             window_strides=(1,) * nd, padding=padding,
             lhs_dilation=(stride,) * nd,
-            dimension_numbers=_dim_numbers(nd))
+            dimension_numbers=_dim_numbers(nd),
+            precision=_prec(x.dtype))
 
         if self.use_bias:
             b_init = (inits.snn_bias() if self.snn_init

@@ -36,6 +36,8 @@ class FlatGeom:
         return hash((self.d, self.h, self.w))
 
     def __eq__(self, other):
+        if not isinstance(other, FlatGeom):
+            return NotImplemented
         return (self.d, self.h, self.w) == (other.d, other.h, other.w)
 
     def __repr__(self):

@@ -46,9 +46,13 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except ValueError:
-        # already initialized
-        pass
+    except RuntimeError as e:
+        # 'distributed.initialize should only be called once' is benign;
+        # anything else (and any ValueError from a missing coordinator
+        # address etc.) must propagate — swallowing it would silently run
+        # N independent single-host processes with no gradient sync
+        if "only be called once" not in str(e):
+            raise
 
 
 def is_multihost() -> bool:

@@ -60,3 +60,25 @@ def test_loss_registry():
                       losses.ExpDiceLoss)
     with pytest.raises(ValueError):
         losses.get_loss("NopeLoss")
+
+
+def test_cross_entropy_matches_torch():
+    """The CE fallback honors its kwargs (weight=...) with torch
+    semantics; unsupported args raise instead of silently vanishing."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    y = rng.integers(0, 3, (2, 4, 5))
+    y1h = np.eye(3, dtype=np.float32)[y].transpose(0, 3, 1, 2)
+    for w in (None, [0.2, 1.0, 3.0]):
+        kw = {} if w is None else {"weight": w}
+        ours = float(losses.get_loss("CrossEntropyLoss", **kw)(
+            jnp.asarray(probs), jnp.asarray(y1h)))
+        ref = torch.nn.CrossEntropyLoss(
+            weight=None if w is None else torch.tensor(w))(
+            torch.log(torch.tensor(probs)),
+            torch.tensor(y, dtype=torch.long))
+        np.testing.assert_allclose(ours, float(ref), atol=1e-5)
+    with pytest.raises(ValueError):
+        losses.get_loss("CrossEntropyLoss", reduction="sum")
