@@ -79,6 +79,8 @@ def run_inference(config_args):
 
 
 def main():
+    from .run import _honor_platform_env
+    _honor_platform_env()
     run_inference(get_config(sys.argv[1]))
 
 

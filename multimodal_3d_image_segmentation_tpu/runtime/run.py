@@ -264,7 +264,18 @@ def run(config_args):
                   "idx_y_modalities (ground truths).")
 
 
+def _honor_platform_env():
+    """CLI-entry only: site-installed accelerator plugins can override
+    the JAX_PLATFORMS env var's platform choice, so a CLI launched with
+    JAX_PLATFORMS=cpu (tests, CPU-only boxes) would still try — and
+    possibly fail — to claim the accelerator. Library imports must NOT
+    do this (callers may have chosen a platform in-code already)."""
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main():
+    _honor_platform_env()
     config_args = get_config(sys.argv[1])
     run(config_args)
 
