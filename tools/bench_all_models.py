@@ -97,9 +97,17 @@ def main(artifact=False):
             ms = timed_loop_ms(fn, x, n_short=1, n_long=4, repeats=3)
             ref = V100.get(name)
             vs = f"{ref / ms:5.1f}x V100" if ref else "   (n/a)"
+            # reference Fig. 1's second axis is GPU memory; HBM peak here
+            # is PROCESS-cumulative (no per-row reset exists), so only
+            # the first row is a true per-model peak — later rows are
+            # upper bounds. Recorded with that caveat in the protocol.
+            from multimodal_3d_image_segmentation_tpu.utils.profiling \
+                import device_memory_stats
+            peak_mib = device_memory_stats().get("peak_bytes_in_use_mib",
+                                                 0.0)
             print(f"{name:11s} {variant:18s} {n_params/1e6:8.3f}M  "
-                  f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}",
-                  flush=True)
+                  f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}  "
+                  f"peak<= {peak_mib:7.0f} MiB", flush=True)
             rows.append({
                 "model": name,
                 "variant": variant,
@@ -108,6 +116,7 @@ def main(artifact=False):
                 "volumes_per_sec": round(1000.0 / ms, 2),
                 "v100_ms": ref,
                 "vs_v100": round(ref / ms, 2) if ref else None,
+                "peak_hbm_mib_cumulative": round(float(peak_mib), 1),
             })
         except Exception as e:
             print(f"{name:11s} {variant:18s} FAILED: "
@@ -126,7 +135,9 @@ def _write(rows, final=False):
         "protocol": "chained fori_loop, per-volume median "
                     "(utils/profiling.timed_loop_ms); fp32 rows at "
                     "serving precision 'high'; first row per family = "
-                    "the shipped config",
+                    "the shipped config; peak_hbm_mib_cumulative is the "
+                    "PROCESS peak at row end (true per-model peak for "
+                    "the first row only, upper bound after)",
         "device": str(jax.devices()[0]),
         "models": rows,
     }
