@@ -297,6 +297,28 @@ def test_fused_tower_train_step(monkeypatch):
                                    atol=2e-3, rtol=2e-2)
 
 
+def test_mha_fused_gate_honors_highest(monkeypatch):
+    """HartleyMHASeg serves the module path when fp32 HIGHEST exactness
+    is requested (the fused kernel's dots are bf16x3 'high'-class)."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    from multimodal_3d_image_segmentation_tpu.ops import spectral
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2),
+                                    use_pallas=True)
+    x = jnp.zeros((1, 2, 12, 12, 10), jnp.float32)
+    monkeypatch.setattr(spectral, "PRECISION", jax.lax.Precision.HIGHEST)
+    assert not m._use_fused_tower(x)
+    monkeypatch.setattr(spectral, "PRECISION", jax.lax.Precision.HIGH)
+    assert m._use_fused_tower(x)
+    # bf16 activations are unaffected by the fp32 knob
+    monkeypatch.setattr(spectral, "PRECISION", jax.lax.Precision.HIGHEST)
+    mb = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2),
+                                     use_pallas=True,
+                                     compute_dtype="bfloat16")
+    assert mb._use_fused_tower(x)
+
+
 def test_fused_tower_train_step_bf16(monkeypatch):
     """Gradients flow through the fused tower at bf16 — the production
     routing (the fused path is gated to bfloat16 on TPU). Regression:
