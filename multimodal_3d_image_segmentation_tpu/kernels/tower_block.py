@@ -345,7 +345,13 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                            memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_shape=[
             jax.ShapeDtypeStruct((d, c, npl), dtype),
-            jax.ShapeDtypeStruct((d, 2, c, kh, kwl), jnp.float32),
+            # f rides the VOLUME dtype: in bf16 mode the per-plane partial
+            # spectra are already bf16-rounded MXU outputs, and storing
+            # them fp32 costs an extra 2x of f's HBM round trip per block.
+            # The D-stage contractions that consume f pin their compute
+            # to fp32 (d_stage_forward), so accumulation precision is
+            # unchanged. ds stays fp32 (accumulated over all blocks).
+            jax.ShapeDtypeStruct((d, 2, c, kh, kwl), dtype),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
         compiler_params=pltpu.CompilerParams(
@@ -364,8 +370,14 @@ def d_stage_forward(f, spec: TowerSpec):
 
     Hartley: real 'fold' output (KD, C, KH, KW).
     Fourier: complex 'mid' output (2, KD, C, KH, KW).
+
+    Compute is pinned to fp32 regardless of f's storage dtype: the
+    spectrum tensors are tiny, the D-axis contraction sums O(D) terms,
+    and in bf16 mode f arrives bf16 (halving its HBM round trip) — the
+    up-cast fuses into the einsum reads.
     """
-    dt = f.dtype
+    dt = jnp.float32
+    f = f.astype(dt)
     prec = _prec(dt)
     mats = _spec_mats(spec)
     if f.shape[-1] == spec.kwl and spec.kwl != spec.kw:
@@ -384,8 +396,11 @@ def d_stage_forward(f, spec: TowerSpec):
 
 
 def d_stage_inverse(s, spec: TowerSpec):
-    """Packed spectrum -> per-plane complex pre-images (D, 2, C, KH, KW)."""
-    dt = s.dtype
+    """Packed spectrum -> per-plane complex pre-images (D, 2, C, KH, KW).
+    fp32 compute (see d_stage_forward); the caller casts z to the volume
+    dtype, which fuses into these einsums' consumers."""
+    dt = jnp.float32
+    s = s.astype(dt)
     prec = _prec(dt)
     mats = _spec_mats(spec)
     cdi = np.asarray(mats["md_inv"][0], dt)
@@ -408,8 +423,10 @@ def block_spectrum_update(f, op_params, spec: TowerSpec):
     """Between-kernel update: D forward stage, channel mix (+ freq SELU
     for Hartley, reference ``nets/hartley_operator.py:265-267``), D
     inverse stage. ``op_params``: (weight,) for Hartley, (weight_real,
-    weight_imag) for Fourier — reference (O, I) layout."""
-    dt = f.dtype
+    weight_imag) for Fourier — reference (O, I) layout. fp32 compute
+    throughout (see d_stage_forward) — identical numerics for bf16
+    volumes to the previous fp32-carried spectrum."""
+    dt = jnp.float32
     prec = _prec(dt)
     s = d_stage_forward(f, spec)
     if spec.transform == "Hartley":
@@ -494,10 +511,10 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
         jnp.einsum("dcn,oc->don", t, w_cc_t.astype(dt), precision=prec)
         + pq[:, c:])
 
-    # match the kernel's output-dtype contract exactly (out in the input
-    # dtype; f and ds in fp32) so _fused_bwd's jax.vjp accepts the
+    # match the kernel's output-dtype contract exactly (out and f in the
+    # input dtype; ds in fp32) so _fused_bwd's jax.vjp accepts the
     # cotangents for bf16 inputs too
-    f = entry_forward_hw(o, spec).astype(jnp.float32)
+    f = entry_forward_hw(o, spec).astype(dt)
     if spec.n_ds:
         return o, f, ds.astype(jnp.float32)
     return o, f

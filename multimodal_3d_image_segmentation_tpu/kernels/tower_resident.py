@@ -313,9 +313,9 @@ def _resident_forward(x_flat, op_stack, wcat_stack, wcc_stack, b_stack,
 def _reference_chain(x_flat, op_stack, wcat_stack, wcc_stack, b_stack,
                      spec):
     """Pure-jnp replay of the whole tower (backward oracle)."""
-    # fp32 spectrum carry to match _block_reference's output contract
-    # (it emits f in fp32 for any input dtype, like the fused kernel)
-    f = entry_forward_hw(x_flat, spec).astype(jnp.float32)
+    # f rides the input dtype to match _block_reference's output
+    # contract (it emits f in the volume dtype, like the fused kernel)
+    f = entry_forward_hw(x_flat, spec)
 
     def body(carry, wts):
         xf, fv = carry

@@ -392,10 +392,12 @@ class NeuralOperatorSeg(_TransSegBase):
         modes = clip_modes(normalize_modes(self.num_modes, 3), sizes)
         spec = tb.make_tower_spec(self.transform_type, sizes, modes,
                                   self.filters, n_ds=n_ds)
-        # fp32 spectrum regardless of compute dtype: the fused block
-        # kernel always emits f in fp32 (out_shape[1]), so a bf16 entry
-        # spectrum would break the scan's carry-type contract
-        f = tb.entry_forward_hw(x_flat, spec).astype(jnp.float32)
+        # f rides the volume dtype (the kernel emits it likewise, so the
+        # scan carry types line up); in bf16 mode this halves the
+        # spectrum's per-block HBM round trip. The D-stage contractions
+        # pin their compute to fp32 (kernels/tower_block.py), so
+        # accumulation precision is unchanged.
+        f = tb.entry_forward_hw(x_flat, spec)
 
         n_blocks = self.num_transform_blocks
         blocks = [_TowerBlockParams(self.filters, self.transform_type,
