@@ -380,6 +380,7 @@ class NeuralOperatorSeg(_TransSegBase):
 
     def _fused_tower_forward(self, x_cf):
         from ..kernels import tower_block as tb
+        from ..kernels import tower_block_s as tbs
         from ..ops.spectral import clip_modes, normalize_modes
 
         interpret = jax.default_backend() != "tpu"
@@ -390,14 +391,23 @@ class NeuralOperatorSeg(_TransSegBase):
         x_flat, sizes = self._fused_entry(x)
         n_ds = self.out_channels if self.use_deep_supervision else 0
         modes = clip_modes(normalize_modes(self.num_modes, 3), sizes)
-        spec = tb.make_tower_spec(self.transform_type, sizes, modes,
-                                  self.filters, n_ds=n_ds)
-        # f rides the volume dtype (the kernel emits it likewise, so the
-        # scan carry types line up); in bf16 mode this halves the
-        # spectrum's per-block HBM round trip. The D-stage contractions
-        # pin their compute to fp32 (kernels/tower_block.py), so
-        # accumulation precision is unchanged.
-        f = tb.entry_forward_hw(x_flat, spec)
+        # v5 kernel (in-kernel depth stages, resident spectrum carry) vs
+        # v2 (per-plane f/z spectra exchanged with XLA) — measurement-
+        # gated A/B (docs/ROADMAP.md; M3SEG_TOWER_S / tbs.set_enabled)
+        use_s = tbs.is_enabled()
+        if use_s:
+            spec = tbs.make_tower_spec_s(self.transform_type, sizes,
+                                         modes, self.filters, n_ds=n_ds)
+            f = tbs.entry_spectrum_s(x_flat, spec)
+        else:
+            spec = tb.make_tower_spec(self.transform_type, sizes, modes,
+                                      self.filters, n_ds=n_ds)
+            # f rides the volume dtype (the kernel emits it likewise, so
+            # the scan carry types line up); in bf16 mode this halves the
+            # spectrum's per-block HBM round trip. The D-stage
+            # contractions pin their compute to fp32
+            # (kernels/tower_block.py), so accumulation is unchanged.
+            f = tb.entry_forward_hw(x_flat, spec)
 
         n_blocks = self.num_transform_blocks
         blocks = [_TowerBlockParams(self.filters, self.transform_type,
@@ -430,9 +440,14 @@ class NeuralOperatorSeg(_TransSegBase):
         def body(carry, wts):
             xf, fv = carry[0], carry[1]
             op, w_cat, w_cc_t, b_cat = wts
-            z = tb.block_spectrum_update(fv, op, spec)
-            res = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
-                                       spec, interpret)
+            if use_s:
+                sy = tbs.spectrum_mix_s(fv, op, spec)
+                res = tbs.fused_tower_block_s(xf, sy, w_cat, w_cc_t,
+                                              b_cat, spec, interpret)
+            else:
+                z = tb.block_spectrum_update(fv, op, spec)
+                res = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
+                                           spec, interpret)
             if n_ds:
                 return (res[0], res[1], carry[2] + res[2]), None
             return (res[0], res[1]), None
