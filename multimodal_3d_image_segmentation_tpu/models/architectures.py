@@ -575,6 +575,7 @@ class HartleyMHASeg(_TransSegBase):
 
     def _fused_mha_forward(self, x_cf):
         from ..kernels import tower_block as tb
+        from ..kernels import tower_block_s as tbs
         from ..ops.spectral import normalize_modes
 
         interpret = jax.default_backend() != "tpu"
@@ -585,9 +586,15 @@ class HartleyMHASeg(_TransSegBase):
         x_flat, sizes = self._fused_entry(x)
         n_ds = self.out_channels if self.use_deep_supervision else 0
         modes = normalize_modes(self.num_modes, 3)
-        spec = tb.make_tower_spec("Hartley", sizes, modes, self.filters,
-                                  n_ds=n_ds)
-        f = tb.entry_forward_hw(x_flat, spec)
+        use_s = tbs.is_enabled()
+        if use_s:
+            spec = tbs.make_tower_spec_s("Hartley", sizes, modes,
+                                         self.filters, n_ds=n_ds)
+            f = tbs.entry_spectrum_s(x_flat, spec)
+        else:
+            spec = tb.make_tower_spec("Hartley", sizes, modes,
+                                      self.filters, n_ds=n_ds)
+            f = tb.entry_forward_hw(x_flat, spec)
 
         n_blocks = self.num_transform_blocks
         mds = bds = None
@@ -604,18 +611,32 @@ class HartleyMHASeg(_TransSegBase):
         # unrolled (flax modules per block); the pallas kernel is
         # identical across blocks so Mosaic compiles once
         for i in range(n_blocks):
-            s = tb.d_stage_forward(f, spec)           # (KD, C, KH, KW)
+            if use_s:
+                # f IS the resident packed spectrum; the MHA module sees
+                # the true (unpadded) W extent — zero pad lanes would add
+                # spatial positions to the flattened attention
+                s = f.reshape(spec.kd, c, spec.kh,
+                              spec.kwl)[..., :spec.kw]
+            else:
+                s = tb.d_stage_forward(f, spec)       # (KD, C, KH, KW)
             s_cl = jnp.transpose(s, (0, 2, 3, 1))[None]
             y_cl, w_cat, w_cc_t, b_cat = _MHATowerBlock(
                 c, self.num_heads, self.num_modes, self.patch_size,
                 self.attention_activation, name=f"layers_{i}")(s_cl)
             y = jnp.transpose(y_cl[0], (0, 3, 1, 2))
-            z = tb.d_stage_inverse(y, spec)
             if n_ds:
                 w_cat = jnp.concatenate(
                     [w_cat, mds[i * c:(i + 1) * c].T], axis=0)
-            res = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat,
-                                       spec, interpret)
+            if use_s:
+                sy = jnp.pad(y.astype(jnp.float32),
+                             [(0, 0)] * 3 + [(0, spec.kwl - spec.kw)])
+                sy = sy.reshape(spec.kd, c * spec.kh, spec.kwl)
+                res = tbs.fused_tower_block_s(x_flat, sy, w_cat, w_cc_t,
+                                              b_cat, spec, interpret)
+            else:
+                z = tb.d_stage_inverse(y, spec)
+                res = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t,
+                                           b_cat, spec, interpret)
             x_flat, f = res[0], res[1]
             if n_ds:
                 ds = ds + res[2]

@@ -191,6 +191,34 @@ def test_model_fused_s_bf16(monkeypatch, tower_s_enabled):
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.parametrize("patch", [None, 2])
+def test_model_fused_s_mha_matches_module(monkeypatch, tower_s_enabled,
+                                          patch):
+    """HartleyMHASeg through the v5 kernel (the MHA module consumes the
+    resident spectrum directly, sliced to the true W extent) matches the
+    module path."""
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+
+    monkeypatch.setattr(
+        architectures.HartleyMHASeg, "_use_fused_tower",
+        lambda self, x: self.use_pallas and x.shape[0] == 1)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 12, 10))
+                    .astype(np.float32))
+    kw = dict(patch_size=patch)
+    ref = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2), **kw)
+    fused = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2),
+                                        use_pallas=True, **kw)
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    p2 = fused.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    want = ref.apply({"params": params}, x)
+    got = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_fused_s_train_step_bf16(monkeypatch, tower_s_enabled):
     """Gradients flow through the v5 tower at bf16 with deep
     supervision (custom VJP replay handles the resident-spectrum

@@ -82,6 +82,21 @@ def main():
         print(f"{transform} bf16 v5-vs-module: maxdiff={diff:.2e} "
               f"argmax-agree={agree:.5f}", flush=True)
 
+    # --- HartleyMHA (fused routed at fp32-'high' AND bf16)
+    print("--- HartleyMHA", flush=True)
+    mha = lambda **kw: models.HartleyMHASeg(  # noqa: E731
+        4, 4, 24, 16, 4, (8, 12, 12), 2, **kw)
+    for label, kw in (("fp32-high", dict(use_pallas=True)),
+                      ("bf16", dict(use_pallas=True,
+                                    compute_dtype="bfloat16"))):
+        m = mha(**kw)
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
+        tbs.set_enabled(False)
+        t(f"HartleyMHA {label} fused v2", m, p)
+        tbs.set_enabled(True)
+        t(f"HartleyMHA {label} fused v5", m, p)
+        tbs.set_enabled(None)
+
 
 if __name__ == "__main__":
     main()
