@@ -1,5 +1,7 @@
 """Pallas kernel tests (interpreter mode on CPU)."""
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +104,7 @@ def test_conv_in_kernel_matches_and_differentiates():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vnetds_conv_in_kernel_matches_module_path(monkeypatch):
     """VNetDS use_pallas conv_in: same param tree and same outputs as the
     ConvNormAct path (kernel runs in interpret mode off-TPU; the TPU gate
@@ -179,6 +182,7 @@ def test_hnosegxs_flat_path_matches_module_path(monkeypatch):
         np.testing.assert_allclose(y_flat, y_ref, atol=2e-5, err_msg=str(kw))
 
 
+@pytest.mark.slow
 def test_vnetds_flat_path_matches_module_path(monkeypatch):
     """V-Net-DS flat-layout execution: same param tree, same outputs as
     the channels-last module path (TPU gate bypassed; kernels interpret)."""
@@ -308,6 +312,7 @@ def test_conv3_flat_dilated_prologue_matches_xla():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vnetds_flat_trains(monkeypatch):
     """One optimization step through the flat path decreases the loss
     (gradients flow through kernels via the custom VJPs)."""

@@ -104,6 +104,7 @@ def test_models_2d():
     assert y.shape == (2, 2, 24, 20)
 
 
+@pytest.mark.slow
 def test_hnosegxs_remat_matches():
     """use_remat trades memory for FLOPs without changing values/grads."""
     from multimodal_3d_image_segmentation_tpu import losses

@@ -121,6 +121,7 @@ def test_dryrun_multichip_bare_subprocess():
     assert "dryrun_multichip(8)" in proc.stdout
 
 
+@pytest.mark.slow
 def test_multihost_two_process_train_step(tmp_path):
     """REAL multi-process path: two workers (4 virtual CPU devices each)
     join via jax.distributed.initialize, lift process-local batches with
@@ -174,6 +175,7 @@ def test_multihost_two_process_train_step(tmp_path):
     np.testing.assert_allclose(result["param_fingerprint"], fp, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_apply_composes_pallas_with_dp(monkeypatch):
     """use_pallas + data-parallel mesh via make_sharded_apply: each device
     traces per-device batch 1, so the kernel gates engage inside the

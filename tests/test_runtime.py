@@ -169,7 +169,8 @@ def test_async_checkpointer_ordering(tmp_path):
 @pytest.mark.parametrize("cfg_file", [
     "configs/config_hnoseg_xs.ini", "configs/config_fnoseg.ini",
     "configs/config_hnoseg.ini", "configs/config_fno.ini",
-    "configs/config_vnet-ds.ini", "configs/config_hartleymha.ini",
+    pytest.param("configs/config_vnet-ds.ini", marks=pytest.mark.slow),
+    "configs/config_hartleymha.ini",
 ])
 def test_all_shipped_configs_build_models(cfg_file):
     """Every shipped config parses and constructs its model (with data-

@@ -234,7 +234,8 @@ def test_model_fused_deep_supervision_matches_module(monkeypatch,
                                atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("patch", [None, 2])
+@pytest.mark.parametrize(
+    "patch", [pytest.param(None, marks=pytest.mark.slow), 2])
 def test_model_fused_mha_matches_module(monkeypatch, patch):
     """HartleyMHASeg(use_pallas=True): the shared fused kernel + the real
     MHA module as the spectrum update matches the module path."""

@@ -111,6 +111,7 @@ def test_fused_s_reference_matches_kernel(transform):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
 @pytest.mark.parametrize("use_resize", [True, False])
 def test_model_fused_s_matches_module(monkeypatch, tower_s_enabled,
@@ -139,6 +140,7 @@ def test_model_fused_s_matches_module(monkeypatch, tower_s_enabled,
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("transform", ["Hartley", "Fourier"])
 def test_model_fused_s_deep_supervision(monkeypatch, tower_s_enabled,
                                         transform):
@@ -164,6 +166,7 @@ def test_model_fused_s_deep_supervision(monkeypatch, tower_s_enabled,
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_fused_s_bf16(monkeypatch, tower_s_enabled):
     """Whole-model bf16 through the v5 kernel (the production routing
     candidate): finite + close to the module path."""
@@ -191,6 +194,7 @@ def test_model_fused_s_bf16(monkeypatch, tower_s_enabled):
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("patch", [None, 2])
 def test_model_fused_s_mha_matches_module(monkeypatch, tower_s_enabled,
                                           patch):
@@ -219,6 +223,7 @@ def test_model_fused_s_mha_matches_module(monkeypatch, tower_s_enabled,
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_s_train_step_bf16(monkeypatch, tower_s_enabled):
     """Gradients flow through the v5 tower at bf16 with deep
     supervision (custom VJP replay handles the resident-spectrum
