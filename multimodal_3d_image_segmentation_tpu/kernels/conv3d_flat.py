@@ -90,15 +90,24 @@ def _dot_f32(a, b, precision):
                            precision=lax.Precision.HIGHEST)
 
 
-def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
-                  *maybe_s_then_scratch,
+def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, *rest_args,
                   ci, co, wp, npl, dp, precision, prologue_act, has_pro,
-                  dilated_depth, has_x2, emit_stats):
+                  dilated_depth, has_x2, emit_stats, res_co):
+    # positional layout: [wr, br if res_co] o [r if res_co]
+    #                    [s if emit_stats] [rs if res_co and emit_stats]
+    #                    a bpend xcol
+    rest = list(rest_args)
+    wr_ref = br_ref = r_ref = rs_ref = s_ref = None
+    if res_co:
+        wr_ref, br_ref = rest.pop(0), rest.pop(0)  # trailing inputs
+    o_ref = rest.pop(0)
+    if res_co:
+        r_ref = rest.pop(0)
     if emit_stats:
-        s_ref, a_ref, bpend_ref, xcol_ref = maybe_s_then_scratch
-    else:
-        a_ref, bpend_ref, xcol_ref = maybe_s_then_scratch
-        s_ref = None
+        s_ref = rest.pop(0)
+        if res_co:
+            rs_ref = rest.pop(0)
+    a_ref, bpend_ref, xcol_ref = rest
     i = pl.program_id(0)
     f32 = jnp.float32
 
@@ -125,6 +134,19 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
         dflag = ((i > 0) & (i < dp - 1) & (q % 2 == 0)
                  & (q // 2 < dilated_depth)).astype(f32)
     xplane = xplane * (m_ref[:] * dflag)           # zero borders + D pads
+
+    if res_co:
+        # pointwise residual tap of the (sanitized) chain input: the
+        # parallel 1x1 residual conv reads the concat pair for free here
+        # instead of re-reading it from HBM (res taps are gated to
+        # prologue-free calls, so xplane IS the raw chain input)
+        r = _dot_f32(wr_ref[:], xplane, precision)     # (res_co, Npl)
+        r = (r + br_ref[:][:, :1]) * (m_ref[:] * dflag)
+        r_ref[0] = r.astype(r_ref.dtype)
+        if rs_ref is not None:
+            rf = r.reshape(res_co, npl // 128, 128)
+            rs_ref[0, 0] = jnp.sum(rf, axis=1)
+            rs_ref[0, 1] = jnp.sum(rf * rf, axis=1)
 
     for t in range(9):
         kh, kw = divmod(t, 3)
@@ -156,10 +178,11 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, o_ref,
                               "dilated_depth", "emit_stats"))
 def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
                      prologue_act, interpret, dilated_depth=None,
-                     emit_stats=False):
+                     emit_stats=False, res_kernel=None, res_bias=None):
     has_x2 = x2 is not None
     ci = x_flat.shape[1] + (x2.shape[1] if has_x2 else 0)
     co = w72.shape[0] // 3
+    res_co = 0 if res_kernel is None else res_kernel.shape[0]
     has_pro = prologue is not None
     # bias as (co, 128) lane-broadcast row (scalar operands need 2D VMEM)
     bias2 = jnp.broadcast_to(bias[:, None], (co, 128))
@@ -201,16 +224,35 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
         operands.append(jnp.zeros((2, 8, 128), x_flat.dtype))
         in_specs.append(pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
+    if res_co:
+        operands.append(res_kernel)
+        in_specs.append(pl.BlockSpec((res_co, ci), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.broadcast_to(
+            res_bias.astype(jnp.float32)[:, None], (res_co, 128)))
+        in_specs.append(pl.BlockSpec((res_co, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
 
     kern = functools.partial(
         _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
         precision=precision, prologue_act=prologue_act, has_pro=has_pro,
-        dilated_depth=dilated_depth, has_x2=has_x2, emit_stats=emit_stats)
+        dilated_depth=dilated_depth, has_x2=has_x2, emit_stats=emit_stats,
+        res_co=res_co)
     out_shape = [jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype)]
     out_specs = [pl.BlockSpec(
         (1, co, g.npl),
         lambda i: (jnp.clip(i - 1, 0, g.dp - 1), 0, 0),
         memory_space=pltpu.VMEM)]
+    if res_co:
+        # the residual tap of INPUT plane i completes at step i (no
+        # pending pipeline); the extra step dp re-writes border plane
+        # dp-1 with the same exact zeros (idempotent)
+        out_shape.append(jax.ShapeDtypeStruct((g.dp, res_co, g.npl),
+                                              x_flat.dtype))
+        out_specs.append(pl.BlockSpec(
+            (1, res_co, g.npl),
+            lambda i: (jnp.minimum(i, g.dp - 1), 0, 0),
+            memory_space=pltpu.VMEM))
     if emit_stats:
         # per-step (sum, sumsq) lane partials; tiny (grid, 2, co, 128)
         out_shape.append(jax.ShapeDtypeStruct((g.dp + 1, 2, co, 128),
@@ -218,6 +260,12 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
         out_specs.append(pl.BlockSpec((1, 2, co, 128),
                                       lambda i: (i, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
+        if res_co:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (g.dp + 1, 2, res_co, 128), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 2, res_co, 128),
+                                          lambda i: (i, 0, 0, 0),
+                                          memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -231,19 +279,35 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+    out = list(out)
+    y = out.pop(0)
+    r = out.pop(0) if res_co else None
     if emit_stats:
-        y, partials = out
-        return y, jnp.sum(partials, axis=(0, 3))   # (2, co)
-    return out[0]
+        stats = jnp.sum(out.pop(0), axis=(0, 3))   # (2, co)
+        if res_co:
+            return y, r, stats, jnp.sum(out.pop(0), axis=(0, 3))
+        return y, stats
+    if res_co:
+        return y, r
+    return y
 
 
 def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
-                         x2=None, emit_stats=False):
+                         x2=None, emit_stats=False, res=None):
     """XLA formulation on the unflattened view — numerics oracle and the
-    backward pass of the custom VJP."""
+    backward pass of the custom VJP. ``res``: optional (res_kernel
+    (res_co, ci), res_bias) pointwise tap of the pre-prologue input."""
     if x2 is not None:
         x_flat = jnp.concatenate([x_flat, x2], axis=1)
     x4 = from_flat(x_flat, g)                       # (C, D, H, W)
+    outs = []
+    if res is not None:
+        assert prologue is None
+        rk, rb = res
+        r4 = jnp.einsum("ic,cdhw->idhw", rk.astype(x4.dtype), x4,
+                        precision=lax.Precision.HIGHEST) \
+            + rb.astype(x4.dtype)[:, None, None, None]
+        outs.append(to_flat(r4, g))
     if prologue is not None:
         scale, shift = prologue
         x4 = x4 * scale[:, None, None, None] + shift[:, None, None, None]
@@ -256,11 +320,16 @@ def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
         dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
         precision=lax.Precision.HIGHEST)[0] + bias[:, None, None, None]
     y_flat = to_flat(y, g)                          # clean zero borders
+    outs.insert(0, y_flat)
     if emit_stats:
-        yf = y_flat.astype(jnp.float32)
-        return y_flat, jnp.stack([jnp.sum(yf, axis=(0, 2)),
-                                  jnp.sum(yf * yf, axis=(0, 2))])
-    return y_flat
+        def _st(t):
+            tf = t.astype(jnp.float32)
+            return jnp.stack([jnp.sum(tf, axis=(0, 2)),
+                              jnp.sum(tf * tf, axis=(0, 2))])
+        outs.append(_st(y_flat))
+        if res is not None:
+            outs.append(_st(outs[1]))
+    return tuple(outs) if len(outs) > 1 else outs[0]
 
 
 def _pack_w72(kernel):
@@ -280,28 +349,32 @@ def _dilate_d_flat(x_flat, d_src):
     return jnp.pad(inter, ((1, 1), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-               prologue_act, interpret, dilated_depth, emit_stats):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel, res_bias,
+               g, precision, prologue_act, interpret, dilated_depth,
+               emit_stats):
     mask = np.asarray(g.interior_mask())  # numpy const: no device readback at lowering
     return _conv3_flat_impl(x_flat, x2, _pack_w72(kernel), bias, mask,
                             prologue, g, precision, prologue_act, interpret,
                             dilated_depth=dilated_depth,
-                            emit_stats=emit_stats)
+                            emit_stats=emit_stats, res_kernel=res_kernel,
+                            res_bias=res_bias)
 
 
-def _conv3_fwd(x_flat, x2, kernel, bias, prologue, g, precision,
-               prologue_act, interpret, dilated_depth, emit_stats):
-    out = _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-                     prologue_act, interpret, dilated_depth, emit_stats)
-    return out, (x_flat, x2, kernel, bias, prologue)
+def _conv3_fwd(x_flat, x2, kernel, bias, prologue, res_kernel, res_bias,
+               g, precision, prologue_act, interpret, dilated_depth,
+               emit_stats):
+    out = _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel,
+                     res_bias, g, precision, prologue_act, interpret,
+                     dilated_depth, emit_stats)
+    return out, (x_flat, x2, kernel, bias, prologue, res_kernel, res_bias)
 
 
 def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
                emit_stats, res, grad):
-    x_flat, x2, kernel, bias, prologue = res
+    vals = list(res)  # (x_flat, x2, kernel, bias, prologue, rk, rb)
 
-    def f(xf, xs, k, b, pro):
+    def f_full(xf, xs, k, b, pro, rk, rb):
         if dilated_depth is not None:
             # concat + prologue BEFORE dilation: the kernel zeroes the
             # inserted planes AFTER its prologue, so they are exact
@@ -315,26 +388,25 @@ def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
                                            prologue_act)
                 pro = None
             xf = _dilate_d_flat(xf, dilated_depth)
-        return _conv3_xla_reference(xf, k, b, pro, g, prologue_act, x2=xs,
-                                    emit_stats=emit_stats)
+        return _conv3_xla_reference(
+            xf, k, b, pro, g, prologue_act, x2=xs, emit_stats=emit_stats,
+            res=None if rk is None else (rk, rb))
 
-    if prologue is None and x2 is None:
-        _, vjp = jax.vjp(lambda xf, k, b: f(xf, None, k, b, None),
-                         x_flat, kernel, bias)
-        gx, gk, gb = vjp(grad)
-        return gx, None, gk, gb, None
-    if prologue is None:
-        _, vjp = jax.vjp(lambda xf, xs, k, b: f(xf, xs, k, b, None),
-                         x_flat, x2, kernel, bias)
-        gx, gx2, gk, gb = vjp(grad)
-        return gx, gx2, gk, gb, None
-    if x2 is None:
-        _, vjp = jax.vjp(lambda xf, k, b, pro: f(xf, None, k, b, pro),
-                         x_flat, kernel, bias, prologue)
-        gx, gk, gb, gp = vjp(grad)
-        return gx, None, gk, gb, gp
-    _, vjp = jax.vjp(f, x_flat, x2, kernel, bias, prologue)
-    return vjp(grad)
+    # differentiate w.r.t. the present (non-None) args only
+    idx = [i for i, v in enumerate(vals) if v is not None]
+
+    def f(*present):
+        full = list(vals)
+        for i, v in zip(idx, present):
+            full[i] = v
+        return f_full(*full)
+
+    _, vjp = jax.vjp(f, *[vals[i] for i in idx])
+    grads = vjp(grad)
+    out = [None] * len(vals)
+    for i, gv in zip(idx, grads):
+        out[i] = gv
+    return tuple(out)
 
 
 _conv3_vjp.defvjp(_conv3_fwd, _conv3_bwd)
@@ -346,7 +418,8 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
                precision: str = "bf16x3",
                interpret: Optional[bool] = None,
                dilated_depth: Optional[int] = None,
-               emit_stats: bool = False):
+               emit_stats: bool = False,
+               residual: Optional[Tuple[jax.Array, jax.Array]] = None):
     """k=3/s=1 SAME conv on the flat padded layout.
 
     Args:
@@ -365,11 +438,19 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
             ``(2, co)`` = [sum(y), sum(y^2)] over the valid interior,
             accumulated inside the kernel — the following GroupNorm
             needs no stats read pass over the volume.
+        residual: optional (res_kernel (res_co, ci), res_bias (res_co,))
+            pointwise tap of the (pre-prologue) input: also emit
+            ``r = res_kernel @ x + res_bias`` — the parallel 1x1
+            residual conv of V-Net's sections reads the input for free
+            here instead of re-reading it from HBM. Requires
+            ``prologue is None`` and no ``dilated_depth``.
 
     Returns:
         (Dp, co, Npl) with clean zero borders (bias applied inside the
-        valid interior only) — plus the (2, co) stats when
-        ``emit_stats``. Differentiable (backward via XLA).
+        valid interior only); with ``residual`` also r (Dp, res_co,
+        Npl); with ``emit_stats`` also the (2, co) stats (and the
+        (2, res_co) residual stats when both). Differentiable
+        (backward via XLA).
     """
     if isinstance(x_flat, (tuple, list)):
         x_flat, x2 = x_flat  # virtual channel concat (ci = c1 + c2)
@@ -379,9 +460,15 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
         interpret = jax.default_backend() != "tpu"
     if x_flat.dtype == jnp.bfloat16 and precision == "bf16x3":
         precision = "native"
-    return _conv3_vjp(x_flat, x2, kernel, bias, prologue, g, precision,
-                      prologue_act, bool(interpret), dilated_depth,
-                      bool(emit_stats))
+    if residual is not None:
+        assert prologue is None and dilated_depth is None
+        res_kernel = residual[0].astype(x_flat.dtype)
+        res_bias = residual[1]
+    else:
+        res_kernel = res_bias = None
+    return _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel,
+                      res_bias, g, precision, prologue_act,
+                      bool(interpret), dilated_depth, bool(emit_stats))
 
 
 def apply_affine_act_flat(x_flat, scale, shift, act: Optional[str]):

@@ -825,7 +825,7 @@ class _FlatConvNormAct(nn.Module):
                 or self.activation in ("elu", "selu", "relu", "none"))
 
     @nn.compact
-    def __call__(self, x, pending=None, defer=False):
+    def __call__(self, x, pending=None, defer=False, residual=None):
         from ..kernels.conv3d_flat import conv3_flat
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
@@ -836,6 +836,10 @@ class _FlatConvNormAct(nn.Module):
         assert pending is None or (self.kernel_size == 3
                                    and len(parts) == 1)
         assert not defer or self._deferrable()
+        assert residual is None or (self.kernel_size == 3
+                                    and pending is None
+                                    and self.g_half is None)
+        res_pack = None
         if self.kernel_size == 1:
             mat = kernel.reshape(cin, self.features)
             # virtual concat: per-part einsums, summed
@@ -846,16 +850,25 @@ class _FlatConvNormAct(nn.Module):
             # follows (the decimated case must compute stats on the
             # decimated volume — reference semantics)
             want_stats = not self.use_snn and self.g_half is None
-            y = conv3_flat(x if len(parts) > 1 else parts[0],
-                           kernel.astype(parts[0].dtype),
-                           bias.astype(parts[0].dtype), self.g,
-                           prologue=(None if pending is None
-                                     else pending[:2]),
-                           prologue_act=(None if pending is None
-                                         else pending[2]),
-                           emit_stats=want_stats)
-            if want_stats:
-                y, kstats = y
+            out = conv3_flat(x if len(parts) > 1 else parts[0],
+                             kernel.astype(parts[0].dtype),
+                             bias.astype(parts[0].dtype), self.g,
+                             prologue=(None if pending is None
+                                       else pending[:2]),
+                             prologue_act=(None if pending is None
+                                           else pending[2]),
+                             emit_stats=want_stats,
+                             residual=residual)
+            if residual is not None and want_stats:
+                y, r_raw, kstats, rstats = out
+                res_pack = (r_raw, rstats)
+            elif residual is not None:
+                y, r_raw = out
+                res_pack = (r_raw, None)
+            elif want_stats:
+                y, kstats = out
+            else:
+                y = out
         g_out = self.g
         if self.g_half is not None:
             gh = self.g_half
@@ -875,15 +888,61 @@ class _FlatConvNormAct(nn.Module):
                                 and self.g_half is None) else None)
             if defer:
                 eff = _flat_gn_eff(y, g_out, scale, gbias, stats=stats)
-                return y, (eff[0], eff[1], act_name)
-            return _flat_gn_act(y, g_out, scale, gbias, self.activation,
-                                stats=stats)
-        if defer:  # snn: no norm — defer the bare activation
+                main = (y, (eff[0], eff[1], act_name))
+            else:
+                main = _flat_gn_act(y, g_out, scale, gbias,
+                                    self.activation, stats=stats)
+        elif defer:  # snn: no norm — defer the bare activation
             one = jnp.ones((self.features,), y.dtype)
             zero = jnp.zeros((self.features,), y.dtype)
-            return y, (one, zero, act_name)
+            main = (y, (one, zero, act_name))
+        else:
+            act = get_activation(self.activation)
+            main = act(y) if act is not None else y
+        if residual is not None:
+            return main, res_pack
+        return main
+
+
+class _FlatResidualTap(nn.Module):
+    """Fused parallel 1x1 residual branch of a V-Net section (reference
+    ``nets/architectures.py:60-74``: conv chain + parallel 1x1
+    ConvNormAct on the section input, summed).
+
+    Parameter tree identical to a kernel_size=1 ``_FlatConvNormAct``
+    (``<name>/conv/{kernel,bias}`` [+ ``<name>/norm/{scale,bias}``]) so
+    checkpoint paths are stable — but the 1x1 conv itself executes inside
+    the sibling chain conv's Pallas kernel (``conv3_flat(residual=...)``),
+    which already holds the section input in VMEM: the residual branch's
+    own HBM read of the input disappears. This module supplies the tap
+    weights (``weights()``) and applies the branch's GroupNorm+activation
+    epilogue to the kernel-emitted tap (``epilogue()``)."""
+    features: int
+    cin: int
+    g: object
+    activation: Union[str, Callable, None] = "elu"
+    use_snn: bool = False
+
+    def setup(self):
+        from .hnosegxs import _ConvParams
+        snn = self.use_snn and is_selu(self.activation)
+        self._conv = _ConvParams(self.features, self.cin, 1, snn,
+                                 name="conv")
+        if not self.use_snn:
+            self._norm = _GNParams(self.features, name="norm")
+
+    def weights(self):
+        kernel, bias = self._conv()
+        mat = kernel.reshape(self.cin, self.features)
+        return mat.T, bias
+
+    def epilogue(self, r_raw, rstats):
+        if not self.use_snn:
+            scale, gbias = self._norm()
+            return _flat_gn_act(r_raw, self.g, scale, gbias,
+                                self.activation, stats=rstats)
         act = get_activation(self.activation)
-        return act(y) if act is not None else y
+        return act(r_raw) if act is not None else r_raw
 
 
 class _FlatConvTransposeNormAct(nn.Module):
@@ -1121,17 +1180,34 @@ class VNetDS(nn.Module):
         act_ok = (self.activation is None
                   or self.activation in ("elu", "selu", "relu", "none"))
 
-        def conv_chain(x0, filters, names, geom):
+        def conv_chain(x0, filters, names, geom, res_name=None):
             """k=3 conv chain with deferred norm+act between links: each
             non-final conv hands its (eff_scale, eff_shift, act) to the
             next kernel's prologue — no intermediate elementwise pass.
-            The first element of ``names``' input may be a (pair)."""
+            The first element of ``names``' input may be a (pair).
+
+            ``res_name``: fuse the section's parallel 1x1 residual branch
+            into the FIRST chain conv's kernel (which already reads the
+            section input) and return ``(chain_out, residual_out)``."""
             xc, pend = x0, None
+            tap = res_out = None
+            if res_name is not None:
+                parts0 = x0 if isinstance(x0, (tuple, list)) else (x0,)
+                tap = _FlatResidualTap(
+                    filters, sum(t.shape[1] for t in parts0), geom,
+                    activation=self.activation, use_snn=self.use_snn,
+                    name=res_name)
             for idx, name in enumerate(names):
                 d = act_ok and idx != len(names) - 1
-                out = conv(filters, name, geom)(xc, pending=pend, defer=d)
+                if idx == 0 and tap is not None:
+                    out, res_pack = conv(filters, name, geom)(
+                        xc, pending=pend, defer=d, residual=tap.weights())
+                    res_out = tap.epilogue(*res_pack)
+                else:
+                    out = conv(filters, name, geom)(xc, pending=pend,
+                                                    defer=d)
                 xc, pend = out if d else (out, None)
-            return xc
+            return (xc, res_out) if res_name is not None else xc
 
         num_sections = len(self.num_blocks)
         encode_tensors, encode_geoms = {}, {}
@@ -1139,13 +1215,14 @@ class VNetDS(nn.Module):
 
         for i in range(num_sections):
             filters = base * (2 ** i)
-            tmp = x if self.use_residual else None
-            x = conv_chain(x, filters,
-                           [f"encode_{i}_conv_{j}"
-                            for j in range(self.num_blocks[i])], g)
-            if tmp is not None:
-                x = x + conv(filters, f"encode_{i}_residual", g,
-                             kernel_size=1)(tmp)
+            names = [f"encode_{i}_conv_{j}"
+                     for j in range(self.num_blocks[i])]
+            if self.use_residual:
+                x, r = conv_chain(x, filters, names, g,
+                                  res_name=f"encode_{i}_residual")
+                x = x + r
+            else:
+                x = conv_chain(x, filters, names, g)
             if i != num_sections - 1:
                 encode_tensors[i], encode_geoms[i] = x, g
                 g_half = flat_geom((g.d - 1) // 2 + 1, (g.h - 1) // 2 + 1,
@@ -1168,16 +1245,18 @@ class VNetDS(nn.Module):
             if (g.d, g.h, g.w) != (ge.d, ge.h, ge.w):
                 x = _flat_crop(x, g, ge)
                 g = ge
-            # virtual concat: the first conv and the residual 1x1 read
-            # (up, skip) directly — the concatenated tensor never exists
+            # virtual concat: the first conv and the fused residual 1x1
+            # read (up, skip) directly — the concatenated tensor never
+            # exists, and the residual tap rides the first conv's kernel
             pair = (x, encode_tensors[i])
-            tmp = pair if self.use_residual else None
-            x = conv_chain(pair, filters,
-                           [f"decode_{i}_conv_{j}"
-                            for j in range(self.num_blocks[i])], g)
-            if tmp is not None:
-                x = x + conv(filters, f"decode_{i}_residual", g,
-                             kernel_size=1)(tmp)
+            names = [f"decode_{i}_conv_{j}"
+                     for j in range(self.num_blocks[i])]
+            if self.use_residual:
+                x, r = conv_chain(pair, filters, names, g,
+                                  res_name=f"decode_{i}_residual")
+                x = x + r
+            else:
+                x = conv_chain(pair, filters, names, g)
             if i in right_leg_indexes:
                 right_leg.append((i, x))
                 right_leg_ref[i] = x

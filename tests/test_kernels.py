@@ -407,3 +407,58 @@ def test_conv3_flat_emit_stats_matches_xla():
     gr = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_conv3_flat_residual_tap_matches_xla():
+    """The fused 1x1 residual tap (V-Net's parallel residual branch
+    riding the chain conv's kernel): output, stats, and gradients match
+    the XLA oracle, incl. through a virtual concat pair."""
+    from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat import (
+        conv3_flat, flat_geom, to_flat, _conv3_xla_reference)
+    rng = np.random.default_rng(17)
+    g = flat_geom(5, 8, 10)
+    x1 = to_flat(jnp.asarray(rng.standard_normal((5, 5, 8, 10)),
+                             jnp.float32), g)
+    x2 = to_flat(jnp.asarray(rng.standard_normal((3, 5, 8, 10)),
+                             jnp.float32), g)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 6)) * 0.1,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+    rk = jnp.asarray(rng.standard_normal((6, 8)) * 0.1, jnp.float32)
+    rb = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+
+    for pair in (False, True):
+        xin = (x1, x2) if pair else jnp.concatenate([x1, x2], axis=1)
+        y, r, st, rst = conv3_flat(xin, k, b, g, emit_stats=True,
+                                   residual=(rk, rb))
+        y_ref, r_ref, st_ref, rst_ref = _conv3_xla_reference(
+            x1 if pair else xin, k, b, None, g, None,
+            x2=x2 if pair else None, emit_stats=True, res=(rk, rb))
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rst), np.asarray(rst_ref),
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref),
+                                   atol=1e-3, rtol=1e-4)
+        # tap borders are clean zeros -> whole-array sum == interior sum
+        np.testing.assert_allclose(float(rst[0].sum()), float(jnp.sum(r)),
+                                   rtol=1e-5, atol=1e-3)
+
+    def loss(xf, kk, bb, rkk, rbb):
+        yy, rr, _, rs = conv3_flat((xf, x2), kk, bb, g, emit_stats=True,
+                                   residual=(rkk, rbb))
+        return jnp.sum(yy ** 2) + jnp.sum(rr ** 2) + jnp.sum(rs[1])
+
+    def loss_ref(xf, kk, bb, rkk, rbb):
+        yy, rr, _, rs = _conv3_xla_reference(xf, kk, bb, None, g, None,
+                                             x2=x2, emit_stats=True,
+                                             res=(rkk, rbb))
+        return jnp.sum(yy ** 2) + jnp.sum(rr ** 2) + jnp.sum(rs[1])
+
+    gk = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x1, k, b, rk, rb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x1, k, b, rk, rb)
+    for a, bb in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=5e-4, rtol=1e-3)
