@@ -234,8 +234,12 @@ def _maybe_pack(x, axis, packed):
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                   mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
-                  out_ref, f_ref, *maybe_ds_ref, spec: TowerSpec,
-                  packed: bool, p_planes: int):
+                  *rest, spec: TowerSpec, packed: bool, p_planes: int):
+    # rest = [dsp_ref if n_ds] out_ref f_ref [ds_ref if n_ds]
+    rest = list(rest)
+    dsp_ref = rest.pop(0) if spec.n_ds else None
+    out_ref, f_ref = rest.pop(0), rest.pop(0)
+    ds_ref = rest.pop(0) if spec.n_ds else None
     c = spec.channels
     _, h, w = spec.sizes
     hl, kh, kwl = spec.hl, spec.kh, spec.kwl
@@ -260,8 +264,11 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
         if spec.n_ds:
             # deep-supervision projection of THIS block's input rides
             # the same packed dot (rows beyond 2C); bias-free (conv_ds
-            # bias applies once on the accumulated sum)
-            maybe_ds_ref[0][p] = pq[2 * c:].astype(maybe_ds_ref[0].dtype)
+            # bias applies once on the accumulated sum). The running
+            # accumulator is FOLDED in here: ds_out = ds_prev + contrib
+            # — the XLA carry-add pass over the ds volume disappears.
+            ds_ref[p] = (dsp_ref[p].astype(jnp.float32)
+                         + pq[2 * c:]).astype(ds_ref.dtype)
             pq = pq[:2 * c]
         pq = pq + bias_ref[...]
         t = _selu(y1.reshape(c, npl) + pq[:c])
@@ -308,13 +315,14 @@ def _pick_p(d: int) -> int:
 
 
 def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
-                      interpret: bool):
+                      interpret: bool, ds_prev=None):
     d = spec.sizes[0]
     c, kh, kwl = spec.channels, spec.kh, spec.kwl
     npl = x_flat.shape[-1]
     dtype = x_flat.dtype
     packed = dtype == jnp.float32
     p = _pick_p(d)
+    assert (ds_prev is not None) == bool(spec.n_ds)
 
     mat_args = list(_kernel_mats(spec, packed))  # numpy: no device consts
     kernel = functools.partial(_tower_kernel, spec=spec, packed=packed,
@@ -335,7 +343,8 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                          memory_space=pltpu.VMEM),
             _full(wp1), _full(wp2), _full(bias),
             *[_full(m) for m in mat_args],
-        ],
+        ] + ([pl.BlockSpec((p, spec.n_ds, npl), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_specs=[
             pl.BlockSpec((p, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -357,7 +366,8 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x_flat, z, wp1, wp2, bias, *mat_args)
+    )(x_flat, z, wp1, wp2, bias, *mat_args,
+      *(() if ds_prev is None else (ds_prev,)))
     return tuple(outs)
 
 
@@ -470,11 +480,13 @@ def entry_forward_hw(x_flat, spec: TowerSpec):
 # reference (plain-jnp) block body — backward pass + numerics oracle
 # ---------------------------------------------------------------------------
 
-def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
+def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec,
+                     ds_prev=None):
     """Pure-jnp replay of the kernel body over all planes at once.
 
     ``w_cat``: (2C, C) rows = [W_conv ; W_cc_x]; ``w_cc_t``: (C, C);
-    both contract the input-channel (column) dimension.
+    both contract the input-channel (column) dimension. ``ds_prev``:
+    running deep-supervision accumulator folded into the ds output.
     """
     d, h, w = spec.sizes
     c, hl = spec.channels, spec.hl
@@ -516,7 +528,10 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
     # cotangents for bf16 inputs too
     f = entry_forward_hw(o, spec).astype(dt)
     if spec.n_ds:
-        return o, f, ds.astype(jnp.float32)
+        ds = ds.astype(jnp.float32)
+        if ds_prev is not None:
+            ds = ds_prev.astype(jnp.float32) + ds
+        return o, f, ds
     return o, f
 
 
@@ -525,7 +540,8 @@ def _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec: TowerSpec):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
+def fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret,
+                      ds_prev=None):
     """One fused tower block: (x_flat, z) -> (out_flat, f_next).
 
     Args:
@@ -538,36 +554,54 @@ def fused_tower_block(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
         b_cat: (2C,) stacked [conv_branch bias or zeros ; conv_concat bias].
         spec: TowerSpec (static).
         interpret: run the Pallas interpreter (CPU tests).
+        ds_prev: (D, n_ds, W*HL) fp32 running deep-supervision
+            accumulator (required iff ``spec.n_ds``) — folded into the
+            kernel's ds output, so the per-block XLA carry-add pass
+            over the ds volume disappears.
 
     Returns:
         out_flat (D, C, W*HL), f_next (D, 2, C, KH, KW) — the forward
         H/W partial spectra of out (feed ``block_spectrum_update``) —
-        and, when ``spec.n_ds``, ds (D, n_ds, W*HL): the bias-free
-        deep-supervision projection of x_flat (rides the packed dot).
+        and, when ``spec.n_ds``, ds (D, n_ds, W*HL): ``ds_prev`` plus
+        the bias-free deep-supervision projection of x_flat (rides the
+        packed dot).
     """
-    return _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+    return _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret,
+                          ds_prev)
 
 
-def _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
+def _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret,
+                   ds_prev=None):
     dtype = x_flat.dtype
     wp1 = _pack_weight(w_cat, dtype)
     wp2 = _pack_weight(w_cc_t, dtype)
     bias = b_cat.astype(jnp.float32)[:, None]
     return _run_tower_kernel(x_flat, z.astype(dtype), wp1, wp2, bias,
-                             spec, interpret)
+                             spec, interpret, ds_prev=ds_prev)
 
 
-def _fused_fwd(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret):
-    out = _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret)
+def _fused_fwd(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret, ds_prev):
+    out = _fused_forward(x_flat, z, w_cat, w_cc_t, b_cat, spec, interpret,
+                         ds_prev)
     return out, (x_flat, z, w_cat, w_cc_t, b_cat)
 
 
 def _fused_bwd(spec, interpret, res, g):
     x_flat, z, w_cat, w_cc_t, b_cat = res
+    # ds_prev enters the outputs only as an additive identity; its value
+    # never multiplies anything, so the replay is differentiated at
+    # ds_prev = 0 (built from the ds cotangent's shape) — the returned
+    # cotangents are exact for any ds_prev.
+    if spec.n_ds:
+        zero_ds = jax.tree_util.tree_map(jnp.zeros_like, g[2])
+        _, vjp = jax.vjp(
+            lambda *a: _block_reference(*a[:5], spec=spec, ds_prev=a[5]),
+            x_flat, z, w_cat, w_cc_t, b_cat, zero_ds)
+        return vjp(g)
     _, vjp = jax.vjp(
         lambda *a: _block_reference(*a, spec=spec), x_flat, z, w_cat,
         w_cc_t, b_cat)
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
 fused_tower_block.defvjp(_fused_fwd, _fused_bwd)

@@ -150,13 +150,13 @@ def _dot3(a, b):
 
 def _tower_kernel_s(x_ref, sy_ref, mi_ref, mft_ref, wp1_ref, wp2_ref,
                     bias_ref, mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
-                    out_ref, sf_ref, *maybe_ds_then_scratch,
-                    spec: TowerSpec, packed: bool, p_planes: int):
-    if spec.n_ds:
-        ds_ref, z_scr, f_scr = maybe_ds_then_scratch
-    else:
-        z_scr, f_scr = maybe_ds_then_scratch
-        ds_ref = None
+                    *rest, spec: TowerSpec, packed: bool, p_planes: int):
+    # rest = [dsp_ref if n_ds] out_ref sf_ref [ds_ref if n_ds] z_scr f_scr
+    rest = list(rest)
+    dsp_ref = rest.pop(0) if spec.n_ds else None
+    out_ref, sf_ref = rest.pop(0), rest.pop(0)
+    ds_ref = rest.pop(0) if spec.n_ds else None
+    z_scr, f_scr = rest
     i = pl.program_id(0)
     c = spec.channels
     _, h, w = spec.sizes
@@ -191,7 +191,9 @@ def _tower_kernel_s(x_ref, sy_ref, mi_ref, mft_ref, wp1_ref, wp2_ref,
         xp = _maybe_pack(x, 0, packed)
         pq = _kdot(wp1_ref[...], xp)                 # (2C [+n_ds], NPL)
         if spec.n_ds:
-            ds_ref[p] = pq[2 * c:].astype(ds_ref.dtype)
+            # running accumulator folded in (see tower_block.py)
+            ds_ref[p] = (dsp_ref[p].astype(jnp.float32)
+                         + pq[2 * c:]).astype(ds_ref.dtype)
             pq = pq[:2 * c]
         pq = pq + bias_ref[...]
         t = _selu(y1.reshape(c, npl) + pq[:c])
@@ -242,7 +244,7 @@ def _tower_kernel_s(x_ref, sy_ref, mi_ref, mft_ref, wp1_ref, wp2_ref,
 
 
 def _run_tower_kernel_s(x_flat, sy3, wp1, wp2, bias, spec: TowerSpec,
-                        interpret: bool):
+                        interpret: bool, ds_prev=None):
     d = spec.sizes[0]
     c, kh, kwl = spec.channels, spec.kh, spec.kwl
     ckh = c * kh
@@ -252,6 +254,7 @@ def _run_tower_kernel_s(x_flat, sy3, wp1, wp2, bias, spec: TowerSpec,
     packed = dtype == jnp.float32
     p = _pick_p(d)
     mi, mf = _d_mats(spec, p)
+    assert (ds_prev is not None) == bool(spec.n_ds)
 
     mat_args = list(_kernel_mats(spec, packed))  # numpy: no device consts
     kernel = functools.partial(_tower_kernel_s, spec=spec, packed=packed,
@@ -276,7 +279,8 @@ def _run_tower_kernel_s(x_flat, sy3, wp1, wp2, bias, spec: TowerSpec,
                          memory_space=pltpu.VMEM),
             _full(wp1), _full(wp2), _full(bias),
             *[_full(m) for m in mat_args],
-        ],
+        ] + ([pl.BlockSpec((p, spec.n_ds, npl), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_specs=[
             pl.BlockSpec((p, c, npl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -294,7 +298,8 @@ def _run_tower_kernel_s(x_flat, sy3, wp1, wp2, bias, spec: TowerSpec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x_flat, sy3, mi, mf, wp1, wp2, bias, *mat_args)
+    )(x_flat, sy3, mi, mf, wp1, wp2, bias, *mat_args,
+      *(() if ds_prev is None else (ds_prev,)))
     return tuple(outs)
 
 
@@ -344,7 +349,8 @@ def entry_spectrum_s(x_flat, spec: TowerSpec):
 # reference (plain-jnp) block body — backward pass + numerics oracle
 # ---------------------------------------------------------------------------
 
-def _block_reference_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec: TowerSpec):
+def _block_reference_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec: TowerSpec,
+                       ds_prev=None):
     """Replay of the v5 block: inverse depth stage from the resident
     spectrum, then the tested v2 block replay, then the forward depth
     stage back to the resident layout."""
@@ -355,7 +361,8 @@ def _block_reference_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec: TowerSpec):
                    sy3.astype(jnp.float32).reshape(_ks(spec), -1),
                    precision=_prec(jnp.float32))
     z = z.reshape(d, 2, c, kh, kwl).astype(x_flat.dtype)
-    res = _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec)
+    res = _block_reference(x_flat, z, w_cat, w_cc_t, b_cat, spec,
+                           ds_prev=ds_prev)
     o, f = res[0], res[1]
     s = d_stage_forward(f, spec)
     pad = [(0, 0)] * (s.ndim - 1) + [(0, kwl - s.shape[-1])]
@@ -370,7 +377,8 @@ def _block_reference_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec: TowerSpec):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_tower_block_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret):
+def fused_tower_block_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
+                        ds_prev=None):
     """One v5 fused tower block: (x_flat, s_y) -> (out_flat, s_f).
 
     Args:
@@ -378,39 +386,50 @@ def fused_tower_block_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret):
         sy3: (KS, C*KH, KWL) fp32 resident mixed spectrum
             (``spectrum_mix_s`` of the previous block's s_f, or
             ``entry_spectrum_s`` + mix for the first block).
-        w_cat / w_cc_t / b_cat / spec / interpret: as
+        w_cat / w_cc_t / b_cat / spec / interpret / ds_prev: as
             ``tower_block.fused_tower_block``.
 
     Returns:
         out_flat (D, C, W*HL), s_f (KS, C*KH, KWL) fp32 — the packed
         forward spectrum of out (feed ``spectrum_mix_s``) — and, when
-        ``spec.n_ds``, ds (D, n_ds, W*HL) fp32.
+        ``spec.n_ds``, ds (D, n_ds, W*HL) fp32 (= ``ds_prev`` + this
+        block's projection; the accumulator rides the kernel).
     """
     return _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec,
-                            interpret)
+                            interpret, ds_prev)
 
 
-def _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret):
+def _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
+                     ds_prev=None):
     dtype = x_flat.dtype
     wp1 = _pack_weight(w_cat, dtype)
     wp2 = _pack_weight(w_cc_t, dtype)
     bias = b_cat.astype(jnp.float32)[:, None]
     return _run_tower_kernel_s(x_flat, sy3.astype(jnp.float32), wp1, wp2,
-                               bias, spec, interpret)
+                               bias, spec, interpret, ds_prev=ds_prev)
 
 
-def _fused_fwd_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret):
+def _fused_fwd_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
+                 ds_prev):
     out = _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec,
-                           interpret)
+                           interpret, ds_prev)
     return out, (x_flat, sy3, w_cat, w_cc_t, b_cat)
 
 
 def _fused_bwd_s(spec, interpret, res, g):
     x_flat, sy3, w_cat, w_cc_t, b_cat = res
+    # ds_prev is purely additive — differentiate the replay at zeros
+    # (exact; see tower_block._fused_bwd)
+    if spec.n_ds:
+        zero_ds = jax.tree_util.tree_map(jnp.zeros_like, g[2])
+        _, vjp = jax.vjp(
+            lambda *a: _block_reference_s(*a[:5], spec=spec, ds_prev=a[5]),
+            x_flat, sy3, w_cat, w_cc_t, b_cat, zero_ds)
+        return vjp(g)
     _, vjp = jax.vjp(
         lambda *a: _block_reference_s(*a, spec=spec), x_flat, sy3, w_cat,
         w_cc_t, b_cat)
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
 fused_tower_block_s.defvjp(_fused_fwd_s, _fused_bwd_s)

@@ -440,16 +440,20 @@ class NeuralOperatorSeg(_TransSegBase):
         def body(carry, wts):
             xf, fv = carry[0], carry[1]
             op, w_cat, w_cc_t, b_cat = wts
+            # the ds accumulator rides the kernel (ds_out = ds_prev +
+            # this block's projection) — no XLA carry-add pass
+            dsp = (carry[2],) if n_ds else ()
             if use_s:
                 sy = tbs.spectrum_mix_s(fv, op, spec)
                 res = tbs.fused_tower_block_s(xf, sy, w_cat, w_cc_t,
-                                              b_cat, spec, interpret)
+                                              b_cat, spec, interpret,
+                                              *dsp)
             else:
                 z = tb.block_spectrum_update(fv, op, spec)
                 res = tb.fused_tower_block(xf, z, w_cat, w_cc_t, b_cat,
-                                           spec, interpret)
+                                           spec, interpret, *dsp)
             if n_ds:
-                return (res[0], res[1], carry[2] + res[2]), None
+                return (res[0], res[1], res[2]), None
             return (res[0], res[1]), None
 
         d = sizes[0]
@@ -627,19 +631,21 @@ class HartleyMHASeg(_TransSegBase):
             if n_ds:
                 w_cat = jnp.concatenate(
                     [w_cat, mds[i * c:(i + 1) * c].T], axis=0)
+            dsp = (ds,) if n_ds else ()
             if use_s:
                 sy = jnp.pad(y.astype(jnp.float32),
                              [(0, 0)] * 3 + [(0, spec.kwl - spec.kw)])
                 sy = sy.reshape(spec.kd, c * spec.kh, spec.kwl)
                 res = tbs.fused_tower_block_s(x_flat, sy, w_cat, w_cc_t,
-                                              b_cat, spec, interpret)
+                                              b_cat, spec, interpret,
+                                              *dsp)
             else:
                 z = tb.d_stage_inverse(y, spec)
                 res = tb.fused_tower_block(x_flat, z, w_cat, w_cc_t,
-                                           b_cat, spec, interpret)
+                                           b_cat, spec, interpret, *dsp)
             x_flat, f = res[0], res[1]
             if n_ds:
-                ds = ds + res[2]
+                ds = res[2]
 
         return self._fused_tail(x_flat, ds, mds, bds, n_blocks, sizes,
                                 image_size, in_dtype)
