@@ -461,7 +461,11 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
     if x_flat.dtype == jnp.bfloat16 and precision == "bf16x3":
         precision = "native"
     if residual is not None:
-        assert prologue is None and dilated_depth is None
+        if prologue is not None or dilated_depth is not None:
+            # the VJP reference taps the PRE-prologue input; a prologue
+            # here would silently desync forward and gradient
+            raise ValueError("conv3_flat(residual=...) requires "
+                             "prologue=None and dilated_depth=None")
         res_kernel = residual[0].astype(x_flat.dtype)
         res_bias = residual[1]
     else:

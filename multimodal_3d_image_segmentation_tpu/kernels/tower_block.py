@@ -354,12 +354,14 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
                            memory_space=pltpu.VMEM)] if spec.n_ds else []),
         out_shape=[
             jax.ShapeDtypeStruct((d, c, npl), dtype),
-            # f rides the VOLUME dtype: in bf16 mode the per-plane partial
-            # spectra are already bf16-rounded MXU outputs, and storing
-            # them fp32 costs an extra 2x of f's HBM round trip per block.
-            # The D-stage contractions that consume f pin their compute
-            # to fp32 (d_stage_forward), so accumulation precision is
-            # unchanged. ds stays fp32 (accumulated over all blocks).
+            # f rides the VOLUME dtype to halve its HBM round trip per
+            # block. NOT numerically free in bf16 mode: the partials are
+            # fp32 MXU accumulations, so the bf16 store adds one rounding
+            # (~4e-3 rel) per plane term before the O(D) depth
+            # contraction (whose compute stays fp32, d_stage_forward).
+            # End-to-end effect is bounded by the bf16 tower parity
+            # tests; accepted as a bandwidth tradeoff. ds stays fp32
+            # (accumulated over all blocks).
             jax.ShapeDtypeStruct((d, 2, c, kh, kwl), dtype),
         ] + ([jax.ShapeDtypeStruct((d, spec.n_ds, npl), jnp.float32)]
              if spec.n_ds else []),
@@ -434,8 +436,9 @@ def block_spectrum_update(f, op_params, spec: TowerSpec):
     for Hartley, reference ``nets/hartley_operator.py:265-267``), D
     inverse stage. ``op_params``: (weight,) for Hartley, (weight_real,
     weight_imag) for Fourier — reference (O, I) layout. fp32 compute
-    throughout (see d_stage_forward) — identical numerics for bf16
-    volumes to the previous fp32-carried spectrum."""
+    throughout (see d_stage_forward); in bf16 mode ``f`` arrives
+    bf16-rounded from the kernel store (one extra rounding vs an fp32
+    carry — see the out_shape note in fused_tower_block)."""
     dt = jnp.float32
     prec = _prec(dt)
     s = d_stage_forward(f, spec)

@@ -142,10 +142,7 @@ def _pack_value_matrix(m, axis):
     return jnp.concatenate([hi, lo, hi], axis=axis)
 
 
-def _dot3(a, b):
-    """(M, K) x (K, A, B) -> (M, A, B) with fp32 accumulation."""
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+_dot3 = _kdot  # same MXU dot; dot_general handles the 3-D rhs directly
 
 
 def _tower_kernel_s(x_ref, sy_ref, mi_ref, mft_ref, wp1_ref, wp2_ref,

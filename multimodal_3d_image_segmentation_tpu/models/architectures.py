@@ -1203,6 +1203,19 @@ class VNetDS(nn.Module):
                     filters, sum(t.shape[1] for t in parts0), geom,
                     activation=self.activation, use_snn=self.use_snn,
                     name=res_name)
+            if not names and tap is not None:
+                # degenerate 0-block section: no chain conv to ride, so
+                # apply the 1x1 tap as a plain XLA einsum (GN masks the
+                # dirty borders via stats=None)
+                mat, rb = tap.weights()
+                off, r_raw = 0, rb.astype(parts0[0].dtype)[None, :, None]
+                for t in parts0:
+                    w_part = mat[:, off:off + t.shape[1]].astype(t.dtype)
+                    r_raw = r_raw + jnp.einsum("oc,dcn->don", w_part, t)
+                    off += t.shape[1]
+                if isinstance(xc, (tuple, list)):
+                    xc = jnp.concatenate(xc, axis=1)
+                return xc, tap.epilogue(r_raw, None)
             for idx, name in enumerate(names):
                 d = act_ok and idx != len(names) - 1
                 if idx == 0 and tap is not None:

@@ -202,6 +202,10 @@ def test_vnetds_flat_path_matches_module_path(monkeypatch):
              activation="selu", use_snn=True),
         dict(in_channels=2, out_channels=3, base_num_filters=4,
              num_blocks=[1, 1], use_residual=False, use_resize=False),
+        # degenerate 0-block section: the residual 1x1 has no chain conv
+        # to ride, so the flat path falls back to an XLA tap
+        dict(in_channels=2, out_channels=3, base_num_filters=4,
+             num_blocks=[0], right_leg_indexes=[0]),
     ]:
         m_ref = models.VNetDS(**kw)
         m_flat = models.VNetDS(**kw, use_pallas=True)

@@ -82,8 +82,9 @@ def main():
           lambda v: tb.fused_tower_block(v, z, w_cat, w_cc_t, b_cat,
                                          spec, False)[0], x_flat)
 
-        # XLA spectrum stage between kernels (f -> z), fp32 carry as routed
-        f = _rand(key, (d, 2, C, spec.kh, spec.kwl), jnp.float32)
+        # XLA spectrum stage between kernels (f -> z); f rides the
+        # volume dtype as routed (bf16 carry since commit 3eb3a89)
+        f = _rand(key, (d, 2, C, spec.kh, spec.kwl), dt)
         if transform == "Hartley":
             op = (_rand(key, (C, C), jnp.float32),)
         else:
