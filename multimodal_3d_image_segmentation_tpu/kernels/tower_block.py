@@ -44,6 +44,7 @@ reduction-sorted — mathematically identical, separable transform).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -306,7 +307,11 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
 def _pick_p(d: int) -> int:
     """Planes per grid step: amortize per-step pipeline overhead while
     keeping VMEM comfortable. Partial last blocks are handled by Pallas
-    (reads padded, out-of-range writes masked; planes are independent)."""
+    (reads padded, out-of-range writes masked; planes are independent).
+    ``M3SEG_TOWER_P`` overrides (perf sweeps; read at trace time)."""
+    override = os.environ.get("M3SEG_TOWER_P")
+    if override:
+        return max(1, min(int(override), d))
     if d >= 32:
         return 8
     if d >= 8:
