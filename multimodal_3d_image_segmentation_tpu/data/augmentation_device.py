@@ -57,12 +57,13 @@ def _center_offset_zyx(matrix_zyx, spatial):
 
 def make_device_augment(rotation_range=None, shift_range=None,
                         zoom_range=None, flip=None, cval: float = 0.0,
-                        augmentation_probability: float = 1.0,
-                        seed=None):
+                        augmentation_probability: float = 1.0):
     """Build ``augment(key, x, y) -> (x, y)`` for channel-first 3D batches
     (B, C, D, H, W) / (B, 1, D, H, W), jit-compatible.
 
-    Args mirror :class:`.augmentation.ImageTransform`.
+    Args mirror :class:`.augmentation.ImageTransform` except ``seed``:
+    randomness enters through the ``key`` argument (the train step derives
+    it per step from the configured [augmentation] seed).
     """
 
     def sample_matrix(key, spatial):

@@ -130,13 +130,16 @@ class _Flow:
             return
 
         # per-task augmentation seeds, drawn in submission order from the
-        # flow's own rng: reproducible for a fixed flow seed, independent
-        # of which worker picks up which task
+        # TRANSFORM's rng (not the flow rng): determinism follows the
+        # configured [augmentation] seed exactly like num_workers == 0,
+        # independent of which worker picks up which task and of whether
+        # the flow itself is seeded (the flow seed governs shuffling)
         has_aug = (self.dataset.transform is not None
                    and hasattr(self.dataset.transform, "rng"))
+        aug_rng = self.dataset.transform.rng if has_aug else None
 
         def _submit(k):
-            seed = (int(self._rng.integers(2 ** 63)) if has_aug else None)
+            seed = (int(aug_rng.integers(2 ** 63)) if has_aug else None)
             return self._pool.submit(_worker_get, int(order[k]), seed)
 
         # submit-ahead window of ~2 batches per worker

@@ -26,11 +26,19 @@ _NUM_RE = re.compile(r"(\d+)")
 
 
 def natural_sorted(items):
-    """Natural sort: digit runs compare numerically ('id2' < 'id10')."""
+    """Natural sort: digit runs compare numerically ('id2' < 'id10').
+
+    String tokens compare case-SENSITIVELY (byte order), matching the
+    reference's ``natsort.os_sorted`` under the C locale
+    (``brats23_data_preparation/partitioning.py:49``) — the id ordering
+    feeds the seeded permutation, so any ordering difference would yield
+    a different train/valid/test split for mixed-case datasets."""
 
     def key(s):
         s = os.fspath(s)
-        return [int(tok) if tok.isdigit() else tok.lower()
+        # (0, int) / (1, str) pairs: ints sort before strings at the same
+        # position instead of raising on int-vs-str comparison
+        return [(0, int(tok)) if tok.isdigit() else (1, tok)
                 for tok in _NUM_RE.split(s)]
 
     return sorted(items, key=key)

@@ -194,6 +194,16 @@ def compute_regional_metrics(y_true, y_pred, spacing=None, labels=None,
     return outputs
 
 
+def compute_sample_metrics(y_true, y_pred, spacing, region_labels,
+                           use_surface_dice=True, use_hd95=True):
+    """All regions' metrics for one sample: one list entry (metric dict)
+    per region, in ``region_labels`` order. Module-level so pool workers
+    can unpickle it."""
+    return [compute_regional_metrics(y_true, y_pred, spacing, labs,
+                                     use_surface_dice, use_hd95)
+            for labs in region_labels]
+
+
 def statistics_regional(y_true, y_pred, y_list_test, output_dir,
                         region_names=None, region_labels=None, is_print=True,
                         suffix="_regional", use_surface_dice=True,
@@ -221,37 +231,30 @@ def statistics_regional(y_true, y_pred, y_list_test, output_dir,
         print("Spacings are obtained from image files.")
 
     metrics_all = defaultdict(list)
+    # ONE pool, per-SAMPLE tasks (all regions computed in the task): each
+    # multi-hundred-MB volume pair crosses the spawn-pool pipe exactly
+    # once instead of once per region, and spawn workers pay interpreter
+    # startup once (reference pools per sample too,
+    # ``experiments/metrics.py:97-104``)
+    partial_fn = partial(compute_sample_metrics,
+                         region_labels=region_labels,
+                         use_surface_dice=use_surface_dice,
+                         use_hd95=use_hd95)
+    tasks = list(zip(y_true, y_pred, spacing))
     if nproc:  # nproc in (None, 0) -> serial
-        # ONE pool for all regions: spawn workers pay full interpreter
-        # startup + imports, so fan the (sample x region) grid into a
-        # single starmap instead of a fresh pool per region
-        partial_fn = partial(compute_regional_metrics,
-                             use_surface_dice=use_surface_dice,
-                             use_hd95=use_hd95)
-        tasks = [(yt, yp, sp, labs)
-                 for labs in region_labels
-                 for yt, yp, sp in zip(y_true, y_pred, spacing)]
         # spawn: fork() in a threaded (JAX) process risks deadlock
         ctx = multiprocessing.get_context("spawn")
         with ctx.Pool(processes=nproc) as pool:
             results = pool.starmap(partial_fn, tasks)
-        n = len(y_true)
-        for r, labs in enumerate(region_labels):
-            metrics = defaultdict(list)
-            for res in results[r * n:(r + 1) * n]:
-                for k, v in res.items():
-                    metrics[k].append(v)
-            for k, v in metrics.items():
-                metrics_all[k].append(np.array(v)[:, None])
     else:
-        for labs in region_labels:
-            metrics = defaultdict(list)
-            for yt, yp, sp in zip(y_true, y_pred, spacing):
-                for k, v in compute_regional_metrics(
-                        yt, yp, sp, labs, use_surface_dice, use_hd95).items():
-                    metrics[k].append(v)
-            for k, v in metrics.items():
-                metrics_all[k].append(np.array(v)[:, None])
+        results = [partial_fn(*t) for t in tasks]
+    for r in range(len(region_labels)):
+        metrics = defaultdict(list)
+        for res in results:
+            for k, v in res[r].items():
+                metrics[k].append(v)
+        for k, v in metrics.items():
+            metrics_all[k].append(np.array(v)[:, None])
 
     metrics_all = {k: np.concatenate(v, axis=1) for k, v in metrics_all.items()}
     num_labels = metrics_all["dice"].shape[1]

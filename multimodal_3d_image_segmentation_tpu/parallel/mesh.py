@@ -89,11 +89,25 @@ def batch_sharding(mesh: Mesh, shape, spatial_axis: Optional[int] = None
     return NamedSharding(mesh, P(*spec))
 
 
-def volume_sharding(mesh: Mesh, ndim: int, spatial_axis: int = 1
+def volume_sharding(mesh: Mesh, ndim_or_shape, spatial_axis: int = 1
                     ) -> NamedSharding:
     """Sharding for single-volume inference: all devices along one spatial
-    axis (both mesh axes flattened onto it when batch == 1)."""
+    axis (both mesh axes flattened onto it when batch == 1).
+
+    Like ``batch_sharding``, divisibility-aware when given a shape tuple:
+    if the chosen spatial extent does not divide the device count, the
+    volume stays replicated (graceful, matching the training path) rather
+    than raising mid-test-loop. An int ``ndim`` assumes divisibility."""
+    if isinstance(ndim_or_shape, int):
+        ndim, shape = ndim_or_shape, None
+    else:
+        shape = tuple(ndim_or_shape)
+        ndim = len(shape)
+    n_total = mesh.shape[DATA_AXIS] * mesh.shape[SPATIAL_AXIS]
     spec = [None] * ndim
+    if (shape is not None and n_total > 1
+            and shape[2 + spatial_axis] % n_total != 0):
+        return NamedSharding(mesh, P())  # replicate: extent not divisible
     if mesh.shape[DATA_AXIS] > 1 and mesh.shape[SPATIAL_AXIS] > 1:
         spec[2 + spatial_axis] = (DATA_AXIS, SPATIAL_AXIS)
     elif mesh.shape[SPATIAL_AXIS] > 1:

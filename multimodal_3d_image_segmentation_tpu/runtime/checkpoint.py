@@ -79,28 +79,42 @@ class AsyncCheckpointer:
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def _run(self, fn, *args):
+        try:
+            fn(*args)
+        except BaseException as e:  # surfaced by the next wait()/close()
+            self._error = e
 
     def save(self, path, state, epoch: int, min_loss: float,
              best_epoch: Optional[int]) -> None:
         host_state = jax.tree_util.tree_map(np.asarray, state)
         self.wait()
         self._thread = threading.Thread(
-            target=save_checkpoint,
-            args=(path, host_state, epoch, min_loss, best_epoch),
+            target=self._run,
+            args=(save_checkpoint, path, host_state, epoch, min_loss,
+                  best_epoch),
             daemon=True)
         self._thread.start()
 
     def save_params(self, path, params) -> None:
         host = jax.tree_util.tree_map(np.asarray, params)
         self.wait()
-        self._thread = threading.Thread(target=save_params,
-                                        args=(path, host), daemon=True)
+        self._thread = threading.Thread(target=self._run,
+                                        args=(save_params, path, host),
+                                        daemon=True)
         self._thread.start()
 
     def wait(self) -> None:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            # a silently dropped checkpoint/best-model write would report
+            # success while losing data — fail the run instead
+            err, self._error = self._error, None
+            raise RuntimeError("background checkpoint write failed") from err
 
     def load(self, path, state):
         return load_checkpoint(path, state)

@@ -74,6 +74,11 @@ def run_inference(config_args):
     test_args = copy.deepcopy(config_args.get("test", {}))
     test_dir = os.path.join(output_dir,
                             test_args.pop("output_folder", "inference"))
+    if test_args.pop("use_autocast", None):
+        # same contract as runtime/run.py: reference configs may carry it
+        print("Warning: [test] use_autocast is ignored; use "
+              "[model] compute_dtype = 'bfloat16' for mixed precision "
+              "on TPU.")
     testing(model=model, params=params, input_data=input_data,
             output_dir=test_dir, mesh=mesh, **test_args)
 

@@ -90,10 +90,15 @@ def build_optimizer(optimizer_args: Dict[str, Any],
     # fallback would silently re-enable AdamW's default 1e-2)
     weight_decay = args.pop("weight_decay", None)
 
+    amsgrad = args.pop("amsgrad", False)
+    if amsgrad and name not in ("Adam",):
+        raise ValueError(f"amsgrad=True is not supported for {name!r}")
+
     if name == "Adamax":
         tx = optax.adamax(lr, b1=betas[0], b2=betas[1], eps=eps)
     elif name == "Adam":
-        tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+        tx = (optax.amsgrad if amsgrad else optax.adam)(
+            lr, b1=betas[0], b2=betas[1], eps=eps)
     elif name == "AdamW":
         # torch AdamW's default decay is 1e-2 when the config omits it
         wd = 1e-2 if weight_decay is None else weight_decay
@@ -101,6 +106,8 @@ def build_optimizer(optimizer_args: Dict[str, Any],
                          weight_decay=wd)
         weight_decay = None
     elif name == "SGD":
+        if args.pop("dampening", 0):
+            raise ValueError("SGD dampening != 0 is not supported")
         tx = optax.sgd(lr, momentum=args.pop("momentum", 0.0),
                        nesterov=args.pop("nesterov", False))
     elif name == "RMSprop":
@@ -111,4 +118,15 @@ def build_optimizer(optimizer_args: Dict[str, Any],
 
     if weight_decay:  # torch semantics: decay 0.0 by default elsewhere
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+
+    if args.pop("maximize", False):
+        raise ValueError("maximize=True is not supported")
+    for key in ("foreach", "capturable", "differentiable", "fused"):
+        args.pop(key, None)  # torch execution knobs, numerically inert
+    if args:
+        # the reference forwards [optimizer] kwargs verbatim to torch;
+        # silently dropping a key here would train with different
+        # semantics than the config specifies
+        raise ValueError(f"Unsupported [optimizer] keys for {name!r}: "
+                         f"{sorted(args)}")
     return tx

@@ -119,9 +119,13 @@ def run(config_args):
         # host pipeline then skips the per-sample resample entirely
         from ..data.augmentation_device import make_device_augment
         dev_args = {k: v for k, v in transform_args.items() if k != "device"}
-        dev_args.pop("seed", None)
+        # the [augmentation] seed keys the per-step PRNG stream inside the
+        # jitted train step (decoupled from the weight-init seed)
+        augment_seed = dev_args.pop("seed", None)
         augment_fn = make_device_augment(**dev_args)
         transform_args = None
+    else:
+        augment_seed = None
     if config_args["main"]["is_train"] or config_args["main"]["is_test"]:
         input_data = InputData(reader=read_img,
                                data_lists_train=data_lists_train,
@@ -186,7 +190,8 @@ def run(config_args):
                   "on TPU.")
         params = training(model=model, input_data=input_data,
                           output_dir=output_dir, loss_fn=loss_fn, tx=tx,
-                          mesh=mesh, augment_fn=augment_fn, **train_args)
+                          mesh=mesh, augment_fn=augment_fn,
+                          augment_seed=augment_seed, **train_args)
 
     elif config_args["main"]["is_test"]:
         model = _build_model(config_args, input_data,

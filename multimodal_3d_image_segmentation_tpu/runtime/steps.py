@@ -58,9 +58,12 @@ def make_sharded_apply(model, mesh):
 
     from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
-    assert mesh.shape[SPATIAL_AXIS] == 1, (
+    assert mesh.shape.get(SPATIAL_AXIS, 1) == 1, (
         "make_sharded_apply composes Pallas kernels with the data axis "
         "only; spatial sharding uses the XLA module path")
+    assert DATA_AXIS in mesh.shape, (
+        f"make_sharded_apply needs a {DATA_AXIS!r} mesh axis "
+        f"(got axes {tuple(mesh.shape)})")
 
     def fwd(variables, x):
         return model.apply(variables, x)

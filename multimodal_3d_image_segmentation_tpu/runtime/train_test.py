@@ -164,7 +164,7 @@ def training(model, input_data, output_dir, loss_fn, tx,
              selection_epoch_portion=0.8, checkpoint_epoch=10,
              is_plot_model=False, is_print=True, plot_epoch_portion=None,
              mesh=None, seed=0, params=None, augment_fn=None,
-             checkpoint_backend="msgpack"):
+             augment_seed=None, checkpoint_backend="msgpack"):
     """Train a model; returns the final (best-on-valid) params.
 
     Args mirror the reference ``training``
@@ -206,8 +206,12 @@ def training(model, input_data, output_dir, loss_fn, tx,
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
-    train_step = make_train_step(loss_fn, num_labels, label_mapping,
-                                 augment_fn=augment_fn, augment_seed=seed)
+    # the on-device augmentation stream is keyed by its own seed when the
+    # config provides one, so it can be varied/reproduced independently
+    # of weight init
+    train_step = make_train_step(
+        loss_fn, num_labels, label_mapping, augment_fn=augment_fn,
+        augment_seed=seed if augment_seed is None else augment_seed)
     eval_step = make_eval_step(loss_fn, num_labels, label_mapping)
 
     # async saves: train loop never blocks on IO. The best-weights export
@@ -332,14 +336,16 @@ def training(model, input_data, output_dir, loss_fn, tx,
     end_time = time.time()
     ckpt.wait()
     params_ckpt.wait()
-    ckpt.close()
 
     if best_epoch is not None:
         params = load_params(model_path, state.params)
-    else:  # num_epochs == 0, i.e. no training
+    else:  # no training (num_epochs == 0) or no finite valid loss
         params = state.params
         params_ckpt.save_params(model_path, params)
         params_ckpt.wait()
+    # close only after the export above: params_ckpt IS ckpt, and the
+    # orbax backend's close() tears down its AsyncCheckpointer
+    ckpt.close()
 
     # Plot losses from the log
     try:
@@ -477,7 +483,7 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
         x = jnp.asarray(x, jnp.float32)
         if mesh is not None:
             from ..parallel.mesh import volume_sharding
-            x = jax.device_put(x, volume_sharding(mesh, x.ndim))
+            x = jax.device_put(x, volume_sharding(mesh, x.shape))
 
         y_pred = np.asarray(predict_step(params, x))  # readback = completion
         e_time = time.time()

@@ -210,10 +210,34 @@ def test_flow_worker_augmentation_reproducible(tmp_path):
     assert not np.array_equal(a[0][0, 0], raw)
 
 
+def test_flow_worker_augmentation_honors_transform_seed(tmp_path):
+    """The [augmentation] seed alone (no flow seed) must make worker-pool
+    augmentation deterministic (regression: task seeds used to come from
+    the unseeded flow rng, silently overriding the transform seed)."""
+    lists = _make_npy_dataset(tmp_path, n=4)
+
+    def run_once():
+        input_data = InputData(
+            reader=np.load, data_lists_train=lists, idx_x_modalities=[0],
+            idx_y_modalities=[1], batch_size=2, num_workers=2,
+            transform_kwargs=dict(shift_range=[.3, .3, .3], seed=11,
+                                  augmentation_probability=1.0))
+        flow = input_data.get_train_flow(shuffle=False)
+        out = [np.array(bx) for bx, _ in flow]
+        flow.close()
+        return out
+
+    for xa, xb in zip(run_once(), run_once()):
+        np.testing.assert_array_equal(xa, xb)
+
+
 # -- partitioning ------------------------------------------------------------
 
 def test_natural_sorted():
     assert natural_sorted(["id10", "id2", "id1"]) == ["id1", "id2", "id10"]
+    # case-sensitive string tokens (byte order, like natsort.os_sorted
+    # under the C locale): uppercase sorts before lowercase
+    assert natural_sorted(["brats_2", "BRATS_10"]) == ["BRATS_10", "brats_2"]
 
 
 def test_partitioning_split(tmp_path):
