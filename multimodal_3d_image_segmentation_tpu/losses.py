@@ -10,6 +10,7 @@ points are provided; everything is jit/grad-compatible pure jnp.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["corrcoef", "pcc_loss", "dice_coef", "dice_loss", "exp_dice_loss",
@@ -102,7 +103,11 @@ def get_loss(loss_name: str, **kwargs):
         w = None if weight is None else jnp.asarray(weight, jnp.float32)
 
         def ce(y_pred, y_true):
-            logp = jnp.log(jnp.clip(y_pred, _EPS, 1.0))
+            # torch.nn.CrossEntropyLoss treats its input as LOGITS and
+            # applies log_softmax internally; the reference feeds it the
+            # models' softmax probabilities (experiments/run.py:105-110),
+            # so value parity requires the same "double softmax" here
+            logp = jax.nn.log_softmax(y_pred, axis=1)
             if w is None:
                 return -jnp.mean(jnp.sum(y_true * logp, axis=1))
             # torch CrossEntropyLoss(weight=...) 'mean': each voxel's

@@ -1154,8 +1154,11 @@ class VNetDS(nn.Module):
     def _use_flat(self, x_cf):
         """Whole-network flat-layout execution (Pallas streaming convs,
         exact masked GroupNorm, selection-matrix down/up sampling):
-        3D, batch 1, channel-first IO, on a real TPU."""
+        3D, batch 1, channel-first IO, k=3 convs, on a real TPU. The
+        kernel_size gate matters: the flat path hardcodes 3x3x3 stencils,
+        so other sizes must serve the module path (identical params)."""
         return (self.use_pallas and self.ndim == 5
+                and self.kernel_size == 3
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and jax.default_backend() == "tpu")
 
@@ -1203,18 +1206,20 @@ class VNetDS(nn.Module):
                     filters, sum(t.shape[1] for t in parts0), geom,
                     activation=self.activation, use_snn=self.use_snn,
                     name=res_name)
-            if not names and tap is not None:
-                # degenerate 0-block section: no chain conv to ride, so
-                # apply the 1x1 tap as a plain XLA einsum (GN masks the
-                # dirty borders via stats=None)
-                mat, rb = tap.weights()
-                off, r_raw = 0, rb.astype(parts0[0].dtype)[None, :, None]
-                for t in parts0:
-                    w_part = mat[:, off:off + t.shape[1]].astype(t.dtype)
-                    r_raw = r_raw + jnp.einsum("oc,dcn->don", w_part, t)
-                    off += t.shape[1]
+            if not names:
+                # degenerate 0-block section: no chain conv for the tap
+                # to ride and nothing to virtually concat into, so
+                # materialize the pair and (with residual) run the 1x1
+                # tap as a precision-correct XLA mix (GN masks the dirty
+                # borders via stats=None)
+                from ..ops.spectral import flat_concat_mix
                 if isinstance(xc, (tuple, list)):
                     xc = jnp.concatenate(xc, axis=1)
+                if tap is None:
+                    return xc
+                mat, rb = tap.weights()
+                r_raw = (flat_concat_mix(parts0, mat.T)
+                         + rb.astype(xc.dtype)[None, :, None])
                 return xc, tap.epilogue(r_raw, None)
             for idx, name in enumerate(names):
                 d = act_ok and idx != len(names) - 1

@@ -147,11 +147,16 @@ def export_reference_state_dict(model, params: Mapping[str, Any]
                                 ) -> Dict[str, np.ndarray]:
     """Inverse of `import_reference_state_dict`: convert our param tree to
     a reference-layout state dict (numpy), loadable into the PyTorch
-    reference via ``ref_model.load_state_dict({k: torch.from_numpy(v)})``
-    (bias shapes broadcast in torch). Enables moving TPU-trained weights
-    back to the reference ecosystem.
+    reference via ``ref_model.load_state_dict({k: torch.from_numpy(v)})``.
+    Bias leaves are reshaped to the reference's broadcast shapes —
+    ``load_state_dict`` shape-checks strictly, so (O,) would be rejected
+    where the reference stores (1, O, 1, ..., 1). Enables moving
+    TPU-trained weights back to the reference ecosystem.
     """
     out: Dict[str, np.ndarray] = {}
+    # spatial broadcast dims; bare op modules carry no ndim field (3D
+    # assumed — models always set it)
+    sp1 = (1,) * (getattr(model, "ndim", 5) - 2)
 
     def walk(tree, path):
         for k, v in tree.items():
@@ -172,6 +177,17 @@ def export_reference_state_dict(model, params: Mapping[str, Any]
                     # (*k, I, O) -> torch conv (O, I, *k)
                     w = np.ascontiguousarray(
                         w.transpose((nd - 1, nd - 2) + tuple(range(nd - 2))))
+            elif leaf == "bias" and "kernel" not in tree:
+                # spectral-operator bias: the reference Parameter is
+                # (1, O) + (1,)*(ndim-2) (``nets/fourier_operator.py:79``,
+                # ``nets/hartley_operator.py:79``); conv biases (sibling
+                # 'kernel') stay (O,) like torch's
+                w = w.reshape((1, -1) + sp1)
+            elif leaf.startswith("bias_"):
+                # MHA biases: (1, Z, K) + (1,)*(ndim-2) for q/k/v,
+                # (1, O) + (1,)*(ndim-2) for bias_out
+                # (``nets/hartley_mha.py:102-109``)
+                w = w.reshape((1,) + w.shape + sp1)
             if key in out:
                 raise ValueError(f"duplicate reference key {key!r}")
             out[key] = w

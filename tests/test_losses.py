@@ -63,7 +63,11 @@ def test_loss_registry():
 
 
 def test_cross_entropy_matches_torch():
-    """The CE fallback honors its kwargs (weight=...) with torch
+    """The CE fallback matches the REFERENCE pipeline's semantics: the
+    reference hands the models' softmax probabilities straight to
+    torch.nn.CrossEntropyLoss (``experiments/run.py:105-110``), which
+    applies log_softmax to them as if they were logits — so parity means
+    reproducing that 'double softmax', honoring weight= with torch
     semantics; unsupported args raise instead of silently vanishing."""
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(0)
@@ -77,8 +81,7 @@ def test_cross_entropy_matches_torch():
             jnp.asarray(probs), jnp.asarray(y1h)))
         ref = torch.nn.CrossEntropyLoss(
             weight=None if w is None else torch.tensor(w))(
-            torch.log(torch.tensor(probs)),
-            torch.tensor(y, dtype=torch.long))
+            torch.tensor(probs), torch.tensor(y, dtype=torch.long))
         np.testing.assert_allclose(ours, float(ref), atol=1e-5)
     with pytest.raises(ValueError):
         losses.get_loss("CrossEntropyLoss", reduction="sum")

@@ -154,8 +154,9 @@ def test_export_reference_state_dict_roundtrip():
 
     sd = export_reference_state_dict(ours, params)
     ref = nets.HNOSegXS(**kw)
+    # no reshape: load_state_dict shape-checks strictly, so the exporter
+    # must emit the reference's exact (broadcast) bias shapes itself
     ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
-                         .reshape(ref.state_dict()[k].shape)
                          for k, v in sd.items()})
     ref.eval()
     with torch.no_grad():

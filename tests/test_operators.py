@@ -171,3 +171,30 @@ def test_hartley_operator_individual_tight_size_parity():
     params = {"weight": jnp.asarray(ref.weight.detach().numpy())}
     got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_export_operator_bias_shapes_load_into_reference():
+    """export_reference_state_dict emits the reference's broadcast bias
+    shapes — torch load_state_dict shape-checks strictly, so a flat (O,)
+    operator bias would be rejected (``nets/hartley_operator.py:79``)."""
+    nets, torch = get_reference_nets()
+    import jax
+    from multimodal_3d_image_segmentation_tpu.utils import (
+        export_reference_state_dict)
+
+    cin, cout, modes = 3, 5, (3, 4, 2)
+    mod = HartleyOperator(cin, cout, modes, use_bias=True,
+                          use_transform=True)
+    x = _rand((1, 12, 10, 8, cin), 2)
+    params = mod.init(jax.random.PRNGKey(3), jnp.asarray(x))["params"]
+    sd = export_reference_state_dict(mod, params)
+    assert sd["bias"].shape == (1, cout, 1, 1, 1)
+
+    ref = nets.hartley_operator.HartleyOperator(
+        cin, cout, modes, use_bias=True, use_transform=True, ndim=5)
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()})
+    with torch.no_grad():
+        want = from_torch_channel_first(ref(to_torch_channel_first(x, torch)))
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
