@@ -101,10 +101,21 @@ def _main():
     _measure(long, x)
 
     per_volume = []
-    for _ in range(REPEATS):
+    attempts = 0
+    while len(per_volume) < REPEATS and attempts < 3 * REPEATS:
+        attempts += 1
         t_short = _measure(short, x)
         t_long = _measure(long, x)
-        per_volume.append((t_long - t_short) / (N_LONG - N_SHORT))
+        dt = (t_long - t_short) / (N_LONG - N_SHORT)
+        # relay hiccups can stall the short run, making the difference
+        # negative or absurd — discard and re-measure (same guard as
+        # tools/bench_train.py)
+        if dt > 0.5e-3:
+            per_volume.append(dt)
+    if len(per_volume) < REPEATS:
+        raise RuntimeError("timing unstable: relay stalls corrupted "
+                           f"{attempts - len(per_volume)} of {attempts} "
+                           "repeats")
 
     sec_per_volume = float(np.median(per_volume))
     volumes_per_sec = 1.0 / sec_per_volume

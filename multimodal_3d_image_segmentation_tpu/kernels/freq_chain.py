@@ -78,13 +78,17 @@ def _prec_for(dt):
 
 
 def _chain_stages(x2d, w):
-    """Plain-ops replay of the chain, returning all stage inputs."""
+    """Plain-ops replay of the chain, returning all stage inputs AND the
+    pre-activation tensors (so the backward pass does not redo the
+    matmuls — they are full-precision multi-pass MXU dots at fp32)."""
     prec = _prec_for(x2d.dtype)
-    xs = [x2d]
+    xs, pres = [x2d], []
     for k in range(w.shape[0]):
-        x2d = jax.nn.selu(jnp.dot(x2d, w[k], precision=prec) + x2d)
+        pre = jnp.dot(x2d, w[k], precision=prec) + x2d
+        x2d = jax.nn.selu(pre)
         xs.append(x2d)
-    return xs
+        pres.append(pre)
+    return xs, pres
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -101,13 +105,13 @@ def _fused_rows_fwd(x2d, w, interpret):
 def _fused_rows_bwd(interpret, res, g):
     x2d, w = res
     prec = _prec_for(x2d.dtype)
-    xs = _chain_stages(x2d, w)
+    xs, pres = _chain_stages(x2d, w)
     scale = 1.0507009873554804934193349852946
     alpha = 1.6732632423543772848170429916717
     dw = jnp.zeros_like(w)
     dx = g
     for k in range(w.shape[0] - 1, -1, -1):
-        pre = jnp.dot(xs[k], w[k], precision=prec) + xs[k]
+        pre = pres[k]
         dselu = jnp.where(pre > 0, scale,
                           scale * alpha * jnp.exp(jnp.where(pre > 0, 0.0,
                                                             pre)))
@@ -135,6 +139,8 @@ def fused_freq_chain(x: jax.Array, weights: Sequence[jax.Array],
     c = x.shape[-1]
     for w in weights:
         assert w.shape == (c, c), "fused chain requires square shared weights"
+    if not weights:  # 0-conv chain is the identity (module path parity)
+        return x
     if interpret is None:  # interpreter mode off-TPU (tests on CPU)
         interpret = jax.default_backend() != "tpu"
     # '...i,oi->...o' == x @ W^T: pre-transpose once.

@@ -449,10 +449,7 @@ def extended_reverse_perm(m: int) -> np.ndarray:
     """
     perm = np.empty(2 * m + 1, dtype=np.int64)
     perm[0] = 0
-    for p in range(1, m + 1):
-        perm[p] = 2 * m + 1 - p
-    for p in range(m + 1, 2 * m + 1):
-        perm[p] = 2 * m + 1 - p
+    perm[1:] = np.arange(2 * m, 0, -1)  # both halves: p -> 2m+1-p
     return perm
 
 

@@ -25,6 +25,15 @@ def test_fused_freq_chain_matches_einsum_chain():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_fused_freq_chain_empty_is_identity():
+    """A 0-conv chain is the identity, like the module path's 0-iteration
+    loop (regression: jnp.stack([]) raised at trace time)."""
+    x = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal((1, 4, 4, 2, 8)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fused_freq_chain(x, [], interpret=True)), np.asarray(x))
+
+
 def test_fused_freq_chain_row_padding():
     """Row count not divisible by the tile size."""
     rng = np.random.default_rng(1)
