@@ -222,15 +222,29 @@ def raw_path_supported(shape) -> bool:
     return b == 1 and d % 2 == 0 and h % 2 == 0 and d >= 4 and h >= 2
 
 
-def _pick_dt(c, d, h, w, itemsize):
+def _pick_dt(c, d, h, w, itemsize, f=24):
     """Largest depth-tile dividing d/2 whose input block stays <= ~1.5 MB
-    (blocks are double-buffered by the pipeline; VMEM is ~16 MB)."""
+    (blocks are double-buffered by the pipeline; VMEM is ~16 MB) AND whose
+    unrolled kernel body fits Mosaic's 100 MB scoped-vmem stack.
+
+    The stack estimate is ~linear in the tile's fp32 intermediate rows:
+    32 per-(kw,kz,ky,ci) tail updates of (dt*hh, f, w2) plus the per-kw
+    even/odd (c, dt, hh, 2, w2) copies. Calibrated on the one observed
+    blow-up — bf16 @ (1,4,120,120,78) picked dt=10 and Mosaic asked for
+    123.9 MB (units = dt*hh*w2 = 24k, f=24, c=4 -> ~5.2 kB/unit); the
+    measured-good bench tiling (bf16 @ 240x240x155, dt=2, units 18.7k)
+    stays legal under the 98 MB budget."""
+    hh, w2 = h // 2, w // 2 + 1
     best = 1
     for dt in range(1, d // 2 + 1):
         if (d // 2) % dt:
             continue
-        if 2 * dt * c * h * w * itemsize <= 1.5e6:
-            best = dt
+        if 2 * dt * c * h * w * itemsize > 1.5e6:
+            continue
+        scoped_est = dt * hh * w2 * (32 * f + 24 * c) * 6
+        if scoped_est > 98e6:
+            continue
+        best = dt
     return best
 
 
@@ -249,7 +263,7 @@ def _conv_in_raw_impl(x_cf, kernel, bias, interpret=False, dt=None,
     d2, h2, w2 = d // 2 + 1, h // 2 + 1, w // 2 + 1
     hh_ = h // 2
     if dt is None:
-        dt = _pick_dt(c, d, h, w, x_cf.dtype.itemsize)
+        dt = _pick_dt(c, d, h, w, x_cf.dtype.itemsize, f=f)
     gm = d // (2 * dt)   # number of distinct main blocks
     grid = gm + 1        # final tile re-reads a clamped block (masked)
 
