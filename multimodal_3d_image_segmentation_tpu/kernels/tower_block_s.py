@@ -102,8 +102,14 @@ def _d_mats(spec: TowerSpec, p: int):
     to ``dg = ceil(D/p)*p`` planes (partial grid steps contribute exact
     zeros to s_f and harmless zeros to z of masked-out planes):
 
-      mi (dg, 2, KS):  z[d, q] = sum_s mi[d, q, s] * s_y[s]
-      mf (KS, dg, 2):  s_f[s] = sum_{d,q} mf[s, d, 2q..] * f[d, q]
+      mi (dg, 2, KS):       z[d, q] = sum_s mi[d, q, s] * s_y[s]
+      mf (dg/p, KS, 2P):    s_f[s] += mf[i, s] @ f_scr  per grid step i
+
+    ``mf`` is pre-merged to the kernel's per-step (KS, 2P) layout on the
+    host (columns plane-major, re/im minor — f_scr row order): merging
+    (P, 2) -> 2P inside the kernel is a MINOR-dim reshape, which this
+    Mosaic cannot shape-cast (hardware-verified failure: ab_tower_s,
+    ``vector<40x8x2xf32> -> vector<40x16xf32>``).
     """
     d = spec.sizes[0]
     kd = int(spec.kd)
@@ -132,7 +138,10 @@ def _d_mats(spec: TowerSpec, p: int):
         mf[:kd, :d, 1] = -sd.T
         mf[kd:, :d, 0] = sd.T           # s_im =  f_re*sd + f_im*cd
         mf[kd:, :d, 1] = cd.T
-    return np.asarray(mi, np.float32), np.asarray(mf, np.float32)
+    # (KS, dg, 2) -> per-grid-step (dg/p, KS, 2P): columns plane-major,
+    # re/im minor, matching f_scr's row order [p0_re, p0_im, p1_re, ...]
+    mf = np.transpose(mf.reshape(ks, dg // p, 2 * p), (1, 0, 2))
+    return np.asarray(mi, np.float32), np.ascontiguousarray(mf, np.float32)
 
 
 def _pack_value_matrix(m, axis):
@@ -229,8 +238,9 @@ def _tower_kernel_s(x_ref, sy_ref, mi_ref, mft_ref, wp1_ref, wp2_ref,
         jax.lax.fori_loop(0, p_planes, _plane, 0)
 
     # ---- forward depth stage: accumulate this step's planes into the
-    # resident output spectrum (constant index map; RMW across steps)
-    mft = mft_ref[...].reshape(mft_ref.shape[0], p2)   # minor merge
+    # resident output spectrum (constant index map; RMW across steps).
+    # mft arrives pre-merged as (1, KS, 2P) — see _d_mats
+    mft = mft_ref[0]
     if packed:
         contrib = _dot3(_pack_value_matrix(mft, 1),
                         _pack_operand(f_scr[...], 0))
@@ -272,7 +282,7 @@ def _run_tower_kernel_s(x_flat, sy3, wp1, wp2, bias, spec: TowerSpec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, 2, ks), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ks, p, 2), lambda i: (0, i, 0),
+            pl.BlockSpec((1, ks, 2 * p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             _full(wp1), _full(wp2), _full(bias),
             *[_full(m) for m in mat_args],
