@@ -76,6 +76,19 @@ def _rows():
     return rows
 
 
+def _compiled_hbm_mib(fn, x):
+    """Compile-time HBM budget (MiB) of the per-volume executable:
+    argument (params + input) + output + temp sizes from XLA's memory
+    analysis. Returns None where the backend has no memory analysis."""
+    try:
+        ma = jax.jit(fn).lower(x).compile().memory_analysis()
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes)
+        return round(total / 1024 ** 2, 1)
+    except Exception:
+        return None
+
+
 def main(artifact=False):
     from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -97,17 +110,17 @@ def main(artifact=False):
             ms = timed_loop_ms(fn, x, n_short=1, n_long=4, repeats=3)
             ref = V100.get(name)
             vs = f"{ref / ms:5.1f}x V100" if ref else "   (n/a)"
-            # reference Fig. 1's second axis is GPU memory; HBM peak here
-            # is PROCESS-cumulative (no per-row reset exists), so only
-            # the first row is a true per-model peak — later rows are
-            # upper bounds. Recorded with that caveat in the protocol.
-            from multimodal_3d_image_segmentation_tpu.utils.profiling \
-                import device_memory_stats
-            peak_mib = device_memory_stats().get("peak_bytes_in_use_mib",
-                                                 0.0)
+            # reference Fig. 1's second axis is GPU memory. This relay
+            # exposes NO runtime memory stats (memory_stats() is None;
+            # heap profiles fatally abort), so record the COMPILE-TIME
+            # HBM budget of the per-volume executable instead:
+            # arguments (params + input) + output + XLA temp arena —
+            # a true per-model, deterministic number.
+            hbm_mib = _compiled_hbm_mib(fn, x)
             print(f"{name:11s} {variant:18s} {n_params/1e6:8.3f}M  "
                   f"{ms:8.2f} ms/volume  {1000/ms:7.1f} vol/s  {vs}  "
-                  f"peak<= {peak_mib:7.0f} MiB", flush=True)
+                  f"hbm {hbm_mib if hbm_mib is not None else '?':>7} MiB",
+                  flush=True)
             rows.append({
                 "model": name,
                 "variant": variant,
@@ -116,7 +129,7 @@ def main(artifact=False):
                 "volumes_per_sec": round(1000.0 / ms, 2),
                 "v100_ms": ref,
                 "vs_v100": round(ref / ms, 2) if ref else None,
-                "peak_hbm_mib_cumulative": round(float(peak_mib), 1),
+                "hbm_mib_compiled": hbm_mib,
             })
         except Exception as e:
             print(f"{name:11s} {variant:18s} FAILED: "
@@ -135,9 +148,10 @@ def _write(rows, final=False):
         "protocol": "chained fori_loop, per-volume median "
                     "(utils/profiling.timed_loop_ms); fp32 rows at "
                     "serving precision 'high'; first row per family = "
-                    "the shipped config; peak_hbm_mib_cumulative is the "
-                    "PROCESS peak at row end (true per-model peak for "
-                    "the first row only, upper bound after)",
+                    "the shipped config; hbm_mib_compiled = XLA "
+                    "memory_analysis of the per-volume executable "
+                    "(arguments + output + temp + code; this relay "
+                    "exposes no runtime memory stats)",
         "device": str(jax.devices()[0]),
         "models": rows,
     }
