@@ -17,7 +17,6 @@ Prints ONE JSON line:
 with value = volumes/sec/chip and vs_baseline = speedup over the 0.24 s
 V100 reference.
 """
-import functools
 import json
 import time
 
@@ -31,26 +30,6 @@ SHAPE = (1, 4, 240, 240, 155)       # BraTS'23 full resolution
 N_SHORT = 2
 N_LONG = 12
 REPEATS = 5
-
-
-def _timed_loop(model, params, x, n_iters):
-    """Run the forward pass n_iters times with a loop-carried dependency;
-    return a scalar that forces full execution."""
-
-    def body(_, carry):
-        xc, acc = carry
-        y = model.apply({"params": params}, xc)
-        s = jnp.sum(y[0, :, ::16, ::16, ::16]) * 1e-12
-        return xc + s, acc + s
-
-    (_, acc) = jax.lax.fori_loop(0, n_iters, body, (x, jnp.float32(0.0)))
-    return acc
-
-
-def _measure(fn, x):
-    t0 = time.perf_counter()
-    float(fn(x))  # host readback forces completion
-    return time.perf_counter() - t0
 
 
 def main(_retries=2):
@@ -70,7 +49,8 @@ def main(_retries=2):
 
 
 def _main():
-    from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
+    from multimodal_3d_image_segmentation_tpu.utils.profiling import (
+        enable_compilation_cache, timed_loop_pairs_ms)
     enable_compilation_cache()
     from multimodal_3d_image_segmentation_tpu import models
     from multimodal_3d_image_segmentation_tpu.ops import spectral
@@ -91,33 +71,12 @@ def _main():
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x))["params"]
 
-    short = jax.jit(functools.partial(_timed_loop, model, params,
-                                      n_iters=N_SHORT))
-    long = jax.jit(functools.partial(_timed_loop, model, params,
-                                     n_iters=N_LONG))
-
-    # compile both
-    _measure(short, x)
-    _measure(long, x)
-
-    per_volume = []
-    attempts = 0
-    while len(per_volume) < REPEATS and attempts < 3 * REPEATS:
-        attempts += 1
-        t_short = _measure(short, x)
-        t_long = _measure(long, x)
-        dt = (t_long - t_short) / (N_LONG - N_SHORT)
-        # relay hiccups can stall the short run, making the difference
-        # negative or absurd — discard and re-measure (same guard as
-        # tools/bench_train.py)
-        if dt > 0.5e-3:
-            per_volume.append(dt)
-    if len(per_volume) < REPEATS:
-        raise RuntimeError("timing unstable: relay stalls corrupted "
-                           f"{attempts - len(per_volume)} of {attempts} "
-                           "repeats")
-
-    sec_per_volume = float(np.median(per_volume))
+    # chained-pair protocol with the relay-hiccup guard lives in
+    # utils/profiling.timed_loop_pairs_ms (shared with the tools)
+    ms = timed_loop_pairs_ms(
+        lambda v: model.apply({"params": params}, v), x,
+        n_short=N_SHORT, n_long=N_LONG, repeats=REPEATS)
+    sec_per_volume = ms / 1e3
     volumes_per_sec = 1.0 / sec_per_volume
     vs_baseline = BASELINE_SECONDS_PER_VOLUME / sec_per_volume
 

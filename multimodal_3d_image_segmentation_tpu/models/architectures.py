@@ -35,6 +35,25 @@ from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
 from ..ops.spectral import (_prec, flat_concat_mix, packed_high_dcn_mix)
 
+_FUSED_TOWER = None  # tri-state: None -> env M3SEG_TOWER_FUSED (default off)
+
+
+def set_fused_tower(on) -> None:
+    """Force the NeuralOperatorSeg fused-tower routing on/off for A/Bs
+    (None -> consult env var ``M3SEG_TOWER_FUSED``; default off — the
+    module path measured faster after the round-3 fixes)."""
+    global _FUSED_TOWER
+    _FUSED_TOWER = on
+
+
+def _fused_tower_opt_in() -> bool:
+    if _FUSED_TOWER is not None:
+        return bool(_FUSED_TOWER)
+    import os
+    return os.environ.get("M3SEG_TOWER_FUSED", "0") not in ("0", "",
+                                                            "false")
+
+
 __all__ = ["VNetDS", "NeuralOperatorSeg", "HartleyMHASeg",
            "NeuralOperatorBlock", "HartleyMHABlock"]
 
@@ -364,12 +383,17 @@ class NeuralOperatorSeg(_TransSegBase):
     use_pallas: bool = False
 
     def _use_fused_tower(self, x_cf):
-        # bf16 only: at fp32-'high' the fused path's packed bf16x3 dots
-        # triple the MXU work and measured SLOWER than the XLA module
-        # path (fused FNOSeg 79-86 ms vs 56 ms module), while at bf16
-        # the fused block wins ~2x (1.44 vs 2.61 ms/block). See
-        # docs/DESIGN.md §8b for the full measurement record.
-        return (self.use_pallas and self.ndim == 5
+        # OFF by default since the round-3 re-measurement FLIP: after the
+        # inverse-transform axis-order fix and the native single-pass
+        # bf16 conv dot, the XLA module path measures 20.4/22.3 ms
+        # (Fourier/Hartley bf16, bench shape) vs 50-53 ms fused — the
+        # fused kernel's one-HBM-pass-per-block advantage no longer
+        # covers its VMEM roll/dot costs. The fused path stays reachable
+        # for A/Bs via ``set_fused_tower(True)`` / M3SEG_TOWER_FUSED=1
+        # (v5 variant additionally via ``tower_block_s.set_enabled``).
+        # Full measurement record: docs/DESIGN.md §8b.
+        return (_fused_tower_opt_in()
+                and self.use_pallas and self.ndim == 5
                 and self.compute_dtype == "bfloat16"
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and self.weights_type == "shared"

@@ -44,6 +44,10 @@ def main():
         print(f"{name:42s} {ms:8.2f} ms/volume", flush=True)
         return ms
 
+    # fused rows need the explicit opt-in since the round-3 routing flip
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    architectures.set_fused_tower(True)
+
     for transform in ("Fourier", "Hartley"):
         print(f"--- {transform}", flush=True)
         mk = lambda **kw: models.NeuralOperatorSeg(  # noqa: E731

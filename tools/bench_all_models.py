@@ -59,16 +59,19 @@ def _rows():
         ("HNOSeg-XS", "bf16_pallas", b["HNOSeg-XS"], bf16),
     ]
     for fam in ("FNOSeg", "HNOSeg"):
-        # shipped fp32: use_pallas present but the fused tower is gated
-        # to bf16, so this IS the XLA module path — label it as such
+        # the tower families serve the XLA module path at every dtype
+        # since the round-3 routing flip (docs/DESIGN.md §8b): the
+        # module path measured 20.4/22.3 ms bf16 vs 50-53 ms fused
         rows.append((fam, "fp32_high_module", b[fam],
                      dict(use_pallas=True)))
-        rows.append((fam, "bf16_fused_pallas", b[fam], bf16))
+        rows.append((fam, "bf16_module", b[fam], bf16))
     rows += [
         ("HartleyMHA", "fp32_high_fused_pallas", b["HartleyMHA"],
          dict(use_pallas=True)),
         ("HartleyMHA", "fp32_high_module", b["HartleyMHA"], dict()),
         ("HartleyMHA", "bf16_fused_pallas", b["HartleyMHA"], bf16),
+        ("HartleyMHA", "bf16_module", b["HartleyMHA"],
+         dict(compute_dtype="bfloat16")),
         ("V-Net-DS", "fp32_high_flat_pallas", b["V-Net-DS"],
          dict(use_pallas=True)),
         ("V-Net-DS", "bf16_flat_pallas", b["V-Net-DS"], bf16),

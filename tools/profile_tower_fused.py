@@ -60,17 +60,25 @@ def main():
         print(f"--- {transform}", flush=True)
         spec = tb.make_tower_spec(transform, sizes, MODES, C, n_ds=0)
 
-        # whole model: fused vs module (both bf16)
-        for label, kw in (("model_fused", dict(use_pallas=True)),
-                          ("model_module", dict(use_pallas=False))):
+        # whole model: fused vs module (both bf16). Routing defaults to
+        # the module path since the round-3 flip; force it per row.
+        from multimodal_3d_image_segmentation_tpu.models import (
+            architectures)
+        for label, kw, fused in (
+                ("model_fused", dict(use_pallas=True), True),
+                ("model_module", dict(use_pallas=False), False)):
             model = models.NeuralOperatorSeg(
                 4, 4, C, 24, MODES, transform,
                 compute_dtype="bfloat16", **kw)
             params = model.init(jax.random.PRNGKey(0),
                                 jnp.zeros_like(x_full))["params"]
-            t(f"{label:22s}",
-              lambda v, m=model, p=params: m.apply({"params": p}, v),
-              x_full)
+            architectures.set_fused_tower(fused)
+            try:
+                t(f"{label:22s}",
+                  lambda v, m=model, p=params: m.apply({"params": p}, v),
+                  x_full)
+            finally:
+                architectures.set_fused_tower(None)
 
         # one kernel call (x, z -> out, f). z rides bf16 like the model's.
         x_flat = _rand(key, (d, C, npl), dt)

@@ -28,6 +28,10 @@ MODES = (10, 14, 14)
 def main():
     enable_compilation_cache()
     spectral.set_fp32_transform_precision("high")
+    # this sweep measures the FUSED path explicitly (routing now defaults
+    # to the module path after the round-3 re-measurement flip)
+    from multimodal_3d_image_segmentation_tpu.models import architectures
+    architectures.set_fused_tower(True)
     x = jnp.asarray(np.random.default_rng(0)
                     .standard_normal(FULL).astype(np.float32))
     p = os.environ.get("M3SEG_TOWER_P", "(default)")
