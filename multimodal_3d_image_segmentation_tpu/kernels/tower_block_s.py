@@ -77,6 +77,53 @@ def is_enabled() -> bool:
     return os.environ.get("M3SEG_TOWER_S", "0") not in ("0", "", "false")
 
 
+_HW_PROBE_OK = None  # cached per process: None -> not yet probed
+
+
+def _hw_probe_ok() -> bool:
+    """Refuse to run the v5 kernel on real Mosaic unless its riskiest
+    pattern computes correctly there.
+
+    The v5 forward depth stage writes per-plane rows into a VMEM scratch
+    inside ``fori_loop`` and then feeds the whole scratch to one dot.
+    On this jax/Mosaic stack that exact pattern COMPILES but returns
+    WRONG values (``tools/proto_mosaic_probe4.py`` probe 4: maxdiff
+    0.118) — and interpret-mode tests cannot catch it (docs/ROADMAP.md).
+    This guard runs the minimal failing pattern once per process on the
+    real backend; only a numerically correct result unlocks the route,
+    so no env var can produce silently wrong segmentations.
+    """
+    global _HW_PROBE_OK
+    if _HW_PROBE_OK is not None:
+        return _HW_PROBE_OK
+
+    p2, a, b, k = 8, 8, 128, 4
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((p2, a, b)).astype(np.float32)
+    m = rng.standard_normal((k, p2)).astype(np.float32)
+
+    def kern(m_ref, x_ref, o_ref, scr):
+        def body(p, carry):
+            scr[pl.ds(p, 1)] = x_ref[pl.ds(p, 1)] * 2.0
+            return carry
+        jax.lax.fori_loop(0, p2, body, 0)
+        o_ref[...] = jax.lax.dot_general(
+            m_ref[...], scr[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    try:
+        f = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((k, a, b), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((p2, a, b), jnp.float32)])
+        got = np.asarray(jax.jit(f)(m, x))
+        want = np.einsum("kd,dab->kab", m, 2.0 * x)
+        _HW_PROBE_OK = bool(np.allclose(got, want, atol=1e-3, rtol=1e-3))
+    except Exception:
+        _HW_PROBE_OK = False
+    return _HW_PROBE_OK
+
+
 def make_tower_spec_s(transform: str, sizes, modes, channels,
                       n_ds: int = 0) -> TowerSpec:
     """v5 spec: identical to ``make_tower_spec`` but with the spectral
@@ -408,6 +455,15 @@ def fused_tower_block_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
 
 def _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
                      ds_prev=None):
+    if not interpret and not _hw_probe_ok():
+        raise RuntimeError(
+            "tower_block_s (v5) is blocked on this backend: its "
+            "fori_loop scratch-row-write-then-dot pattern computes "
+            "WRONG values on this Mosaic (probe maxdiff ~0.118; "
+            "docs/ROADMAP.md / tools/proto_mosaic_probe4.py). Use the "
+            "v2 kernel (tower_block.py) or the default XLA module "
+            "path; the v5 route unlocks automatically on a stack "
+            "where the probe passes.")
     dtype = x_flat.dtype
     wp1 = _pack_weight(w_cat, dtype)
     wp2 = _pack_weight(w_cc_t, dtype)

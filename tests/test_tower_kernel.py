@@ -349,3 +349,27 @@ def test_fused_tower_train_step_bf16(monkeypatch):
     assert np.isfinite(float(loss))
     for a in jax.tree_util.tree_leaves(state2.params):
         assert np.all(np.isfinite(np.asarray(a, np.float32)))
+
+
+def test_tower_s_hw_guard_refuses_failing_backend(monkeypatch):
+    """The v5 kernel must REFUSE to run non-interpret on a backend where
+    its scratch-row-write-then-dot pattern computes wrong values
+    (real Mosaic today — docs/ROADMAP.md). On CPU the non-interpret
+    pallas_call probe fails outright, so the guard must raise rather
+    than silently produce wrong segmentations."""
+    from multimodal_3d_image_segmentation_tpu.kernels import (
+        tower_block_s as tbs)
+
+    monkeypatch.setattr(tbs, "_HW_PROBE_OK", None)  # force a re-probe
+    spec = tbs.make_tower_spec_s("Hartley", (6, 8, 8), (2, 2, 2), 4)
+    d, c = spec.sizes[0], spec.channels
+    npl = spec.sizes[2] * spec.hl
+    x = jnp.zeros((d, c, npl), jnp.float32)
+    sy = jnp.zeros((spec.kd, 2 * c * spec.kh, spec.kwl), jnp.float32)
+    w_cat = jnp.zeros((2 * c, c), jnp.float32)
+    w_cc = jnp.zeros((c, c), jnp.float32)
+    b = jnp.zeros((c,), jnp.float32)
+    with pytest.raises(RuntimeError, match="blocked on this backend"):
+        tbs.fused_tower_block_s(x, sy, w_cat, w_cc, b, spec,
+                                False)  # interpret=False
+    assert tbs._HW_PROBE_OK is False  # cached verdict

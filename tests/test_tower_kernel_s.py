@@ -14,6 +14,11 @@ from multimodal_3d_image_segmentation_tpu.models.architectures import (
 
 from test_tower_kernel import _block_params
 
+# v5 is an UNROUTED engineering-record kernel (wrong values on real
+# Mosaic — blocked by a hardware probe in tower_block_s; docs/ROADMAP.md):
+# keep its interpret-mode regression tests out of the fast split.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def tower_s_enabled():

@@ -13,6 +13,11 @@ import pytest
 from multimodal_3d_image_segmentation_tpu.kernels import tower_block as tb
 from multimodal_3d_image_segmentation_tpu.kernels import tower_resident as tr
 
+# tower_resident is an UNROUTED engineering-record kernel (measured dead
+# end, docs/DESIGN.md §8b): keep its regression tests out of the fast
+# split — no user-reachable path exercises this code.
+pytestmark = pytest.mark.slow
+
 
 def _inputs(transform, sizes=(9, 18, 10), modes=(3, 4, 4), c=8, nb=3,
             seed=0):
