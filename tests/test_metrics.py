@@ -301,3 +301,73 @@ def test_surface_metrics_regression_fixture():
                                    case["hd95"], rtol=1e-12)
         np.testing.assert_allclose(compute_robust_hausdorff(d, 100),
                                    case["hd100"], rtol=1e-12)
+
+
+def test_surfel_area_complement_symmetry_nonambiguous():
+    """First-principles invariant of marching cubes: for cells with NO
+    ambiguous face (no diagonal inside/outside pattern), the isosurface
+    of the complemented occupancy is the SAME polygon set, so the area
+    table must be exactly complement-symmetric there. Ambiguous codes
+    legitimately break this (the inside-corner-separation convention
+    flips which diagonal gets separated) — they are excluded, not
+    tolerated."""
+    from multimodal_3d_image_segmentation_tpu.surfels import (
+        _FACES, neighbour_code_to_surface_area)
+
+    def ambiguous(code):
+        inside = [(code >> (7 - c)) & 1 == 1 for c in range(8)]
+        for ring in _FACES:
+            v = [inside[c] for c in ring]
+            if v in ([True, False, True, False],
+                     [False, True, False, True]):
+                return True
+        return False
+
+    for spacing in [(1.0, 1.0, 1.0), (1.3, 0.7, 2.1), (3.0, 0.5, 1.1)]:
+        t = neighbour_code_to_surface_area(spacing)
+        checked = 0
+        for code in range(256):
+            if not ambiguous(code):
+                assert t[code] == pytest.approx(t[255 - code], abs=1e-12)
+                checked += 1
+        assert checked == 136  # 256 - 120 ambiguous codes
+
+
+def test_surfel_area_smooth_surface_estimator():
+    """Independent differential-geometry check of the whole 256-entry
+    table + spacing handling: the total surfel area of a digitized ball
+    must track 4*pi*r^2 with the KNOWN direction-averaged overestimate
+    of midpoint marching cubes on binary data (~+5..8% — vertices sit at
+    edge midpoints, not interpolated crossings; the DeepMind convention
+    shares this bias), and the ratio must be RESOLUTION-STABLE (the
+    estimator converges). Catches any wrong table entry or mis-scaled
+    spacing without referencing this repo's own construction."""
+    from multimodal_3d_image_segmentation_tpu.surfels import surfel_map
+
+    def ball_ratio(n, r, spacing):
+        gs = [(np.arange(n) - (n - 1) / 2) * s for s in spacing]
+        z, y, x = np.meshgrid(*gs, indexing="ij")
+        m = (z ** 2 + y ** 2 + x ** 2) <= r ** 2
+        return surfel_map(m, spacing).sum() / (4 * np.pi * r ** 2)
+
+    r48 = ball_ratio(48, 20.0, (1.0, 1.0, 1.0))
+    r96 = ball_ratio(96, 42.0, (1.0, 1.0, 1.0))
+    assert 1.0 < r48 < 1.12 and 1.0 < r96 < 1.12
+    assert abs(r96 - r48) < 0.02  # estimator is resolution-stable
+
+    # anisotropic spacing, same PHYSICAL sphere: spacing must enter the
+    # table (not just the distance transform); staircase bias grows with
+    # anisotropy but stays bounded
+    gs = [(np.arange(n) - (n - 1) / 2) * s
+          for n, s in zip((36, 72, 144), (2.0, 1.0, 0.5))]
+    z, y, x = np.meshgrid(*gs, indexing="ij")
+    m = (z ** 2 + y ** 2 + x ** 2) <= 18.0 ** 2
+    ratio = surfel_map(m, (2.0, 1.0, 0.5)).sum() / (4 * np.pi * 18.0 ** 2)
+    assert 1.0 < ratio < 1.25
+
+    # 2D analog: digitized disk boundary length vs 2*pi*r
+    g = np.arange(128) - 63.5
+    yy, xx = np.meshgrid(g, g, indexing="ij")
+    d = (yy ** 2 + xx ** 2) <= 55.0 ** 2
+    ratio2d = surfel_map(d, (1.0, 1.0)).sum() / (2 * np.pi * 55.0)
+    assert 1.0 < ratio2d < 1.10
