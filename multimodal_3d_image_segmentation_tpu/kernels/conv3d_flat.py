@@ -92,14 +92,17 @@ def _dot_f32(a, b, precision):
 
 def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, *rest_args,
                   ci, co, wp, npl, dp, precision, prologue_act, has_pro,
-                  dilated_depth, has_x2, emit_stats, res_co):
-    # positional layout: [wr, br if res_co] o [r if res_co]
+                  dilated_depth, has_x2, emit_stats, res_co, halo=False):
+    # positional layout: [wr, br if res_co] [keep if halo] o
+    #                    [r if res_co]
     #                    [s if emit_stats] [rs if res_co and emit_stats]
     #                    a bpend xcol
     rest = list(rest_args)
-    wr_ref = br_ref = r_ref = rs_ref = s_ref = None
+    wr_ref = br_ref = r_ref = rs_ref = s_ref = keep_ref = None
     if res_co:
         wr_ref, br_ref = rest.pop(0), rest.pop(0)  # trailing inputs
+    if halo:
+        keep_ref = rest.pop(0)                     # SMEM (2,) keep pair
     o_ref = rest.pop(0)
     if res_co:
         r_ref = rest.pop(0)
@@ -124,8 +127,21 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, *rest_args,
         act = _act_fn(prologue_act)
         if act is not None:
             xplane = act(xplane)
+    interior = ((i > 0) & (i < dp - 1)).astype(f32)
     if dilated_depth is None:
-        dflag = ((i > 0) & (i < dp - 1)).astype(f32)
+        # halo mode (spatial sharding): the border planes hold REAL
+        # neighbor data exchanged via ppermute, not zero pads — keep
+        # them (lane-masked only) so they feed the first/last valid
+        # output planes; the duplicate clipped fetch at grid step dp
+        # only reaches the write_zero'd border output and dead scratch.
+        # At the GLOBAL volume ends the wrapper sends zero halos that a
+        # prologue would turn into act(shift): the SMEM keep pair
+        # re-zeroes them post-prologue (exact zero-pad semantics).
+        if halo:
+            dflag = jnp.where(i == 0, keep_ref[0],
+                              jnp.where(i >= dp - 1, keep_ref[1], 1.0))
+        else:
+            dflag = interior
     else:
         # D-dilated input (transposed convs): interior position q = i-1
         # holds source plane q//2 iff q is even and q//2 < dilated_depth;
@@ -140,8 +156,10 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, *rest_args,
         # parallel 1x1 residual conv reads the concat pair for free here
         # instead of re-reading it from HBM (res taps are gated to
         # prologue-free calls, so xplane IS the raw chain input)
+        # (in halo mode the tap stays interior-only: halo planes
+        # duplicate neighbor planes and must not enter r or its stats)
         r = _dot_f32(wr_ref[:], xplane, precision)     # (res_co, Npl)
-        r = (r + br_ref[:][:, :1]) * (m_ref[:] * dflag)
+        r = (r + br_ref[:][:, :1]) * (m_ref[:] * interior)
         r_ref[0] = r.astype(r_ref.dtype)
         if rs_ref is not None:
             rf = r.reshape(res_co, npl // 128, 128)
@@ -175,10 +193,11 @@ def _conv3_kernel(x_ref, x2_ref, w_ref, b_ref, m_ref, pro_ref, *rest_args,
 
 @functools.partial(
     jax.jit, static_argnames=("g", "precision", "prologue_act", "interpret",
-                              "dilated_depth", "emit_stats"))
+                              "dilated_depth", "emit_stats", "halo"))
 def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
                      prologue_act, interpret, dilated_depth=None,
-                     emit_stats=False, res_kernel=None, res_bias=None):
+                     emit_stats=False, res_kernel=None, res_bias=None,
+                     halo=False, halo_keep=None):
     has_x2 = x2 is not None
     ci = x_flat.shape[1] + (x2.shape[1] if has_x2 else 0)
     co = w72.shape[0] // 3
@@ -232,12 +251,17 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
             res_bias.astype(jnp.float32)[:, None], (res_co, 128)))
         in_specs.append(pl.BlockSpec((res_co, 128), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
+    if halo:
+        keep = (jnp.ones((2,), jnp.float32) if halo_keep is None
+                else halo_keep.astype(jnp.float32))
+        operands.append(keep)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     kern = functools.partial(
         _conv3_kernel, ci=ci, co=co, wp=g.wp, npl=g.npl, dp=g.dp,
         precision=precision, prologue_act=prologue_act, has_pro=has_pro,
         dilated_depth=dilated_depth, has_x2=has_x2, emit_stats=emit_stats,
-        res_co=res_co)
+        res_co=res_co, halo=halo)
     out_shape = [jax.ShapeDtypeStruct((g.dp, co, g.npl), x_flat.dtype)]
     out_specs = [pl.BlockSpec(
         (1, co, g.npl),
@@ -293,18 +317,29 @@ def _conv3_flat_impl(x_flat, x2, w72, bias, mask, prologue, g, precision,
 
 
 def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
-                         x2=None, emit_stats=False, res=None):
+                         x2=None, emit_stats=False, res=None, halo=False,
+                         halo_keep=None):
     """XLA formulation on the unflattened view — numerics oracle and the
     backward pass of the custom VJP. ``res``: optional (res_kernel
-    (res_co, ci), res_bias) pointwise tap of the pre-prologue input."""
+    (res_co, ci), res_bias) pointwise tap of the pre-prologue input.
+    ``halo``: the flat tensor's border planes are real neighbor data —
+    convolve over D+2 depth and keep the interior D output planes."""
     if x2 is not None:
         x_flat = jnp.concatenate([x_flat, x2], axis=1)
-    x4 = from_flat(x_flat, g)                       # (C, D, H, W)
+    if halo:
+        # view the halo planes as two extra valid depth slices, run the
+        # same SAME-conv, then drop the (wrong-at-zero-pad) outer planes
+        g_ext = flat_geom(g.d + 2, g.h, g.w)
+        x4 = from_flat(jnp.pad(x_flat, ((1, 1), (0, 0), (0, 0))), g_ext)
+        x4_loc = x4[:, 1:-1]                        # the local D planes
+    else:
+        x4 = from_flat(x_flat, g)                   # (C, D, H, W)
+        x4_loc = x4
     outs = []
     if res is not None:
         assert prologue is None
         rk, rb = res
-        r4 = jnp.einsum("ic,cdhw->idhw", rk.astype(x4.dtype), x4,
+        r4 = jnp.einsum("ic,cdhw->idhw", rk.astype(x4.dtype), x4_loc,
                         precision=lax.Precision.HIGHEST) \
             + rb.astype(x4.dtype)[:, None, None, None]
         outs.append(to_flat(r4, g))
@@ -315,10 +350,21 @@ def _conv3_xla_reference(x_flat, kernel, bias, prologue, g, prologue_act,
                "relu": jax.nn.relu, None: None, "none": None}[prologue_act]
         if act is not None:
             x4 = act(x4)
+    if halo:
+        # zero-pad semantics at the GLOBAL volume ends: re-zero the halo
+        # planes the keep pair marks invalid (post-prologue, like the
+        # kernel's dflag)
+        keep = (jnp.ones((2,), x4.dtype) if halo_keep is None
+                else halo_keep.astype(x4.dtype))
+        dmask = jnp.concatenate([keep[:1], jnp.ones((g.d,), x4.dtype),
+                                 keep[1:]])
+        x4 = x4 * dmask[None, :, None, None]
     y = lax.conv_general_dilated(
         x4[None], kernel, (1, 1, 1), "SAME",
         dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
         precision=lax.Precision.HIGHEST)[0] + bias[:, None, None, None]
+    if halo:
+        y = y[:, 1:-1]  # outer planes saw zero pads where halos continue
     y_flat = to_flat(y, g)                          # clean zero borders
     outs.insert(0, y_flat)
     if emit_stats:
@@ -349,30 +395,34 @@ def _dilate_d_flat(x_flat, d_src):
     return jnp.pad(inter, ((1, 1), (0, 0), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel, res_bias,
-               g, precision, prologue_act, interpret, dilated_depth,
-               emit_stats):
+               halo_keep, g, precision, prologue_act, interpret,
+               dilated_depth, emit_stats, halo):
     mask = np.asarray(g.interior_mask())  # numpy const: no device readback at lowering
     return _conv3_flat_impl(x_flat, x2, _pack_w72(kernel), bias, mask,
                             prologue, g, precision, prologue_act, interpret,
                             dilated_depth=dilated_depth,
                             emit_stats=emit_stats, res_kernel=res_kernel,
-                            res_bias=res_bias)
+                            res_bias=res_bias, halo=halo,
+                            halo_keep=halo_keep)
 
 
 def _conv3_fwd(x_flat, x2, kernel, bias, prologue, res_kernel, res_bias,
-               g, precision, prologue_act, interpret, dilated_depth,
-               emit_stats):
+               halo_keep, g, precision, prologue_act, interpret,
+               dilated_depth, emit_stats, halo):
     out = _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel,
-                     res_bias, g, precision, prologue_act, interpret,
-                     dilated_depth, emit_stats)
-    return out, (x_flat, x2, kernel, bias, prologue, res_kernel, res_bias)
+                     res_bias, halo_keep, g, precision, prologue_act,
+                     interpret, dilated_depth, emit_stats, halo)
+    return out, (x_flat, x2, kernel, bias, prologue, res_kernel, res_bias,
+                 halo_keep)
 
 
 def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
-               emit_stats, res, grad):
-    vals = list(res)  # (x_flat, x2, kernel, bias, prologue, rk, rb)
+               emit_stats, halo, res, grad):
+    *vals, halo_keep = res  # (x_flat, x2, kernel, bias, prologue, rk, rb)
+    vals = list(vals)
 
     def f_full(xf, xs, k, b, pro, rk, rb):
         if dilated_depth is not None:
@@ -390,7 +440,8 @@ def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
             xf = _dilate_d_flat(xf, dilated_depth)
         return _conv3_xla_reference(
             xf, k, b, pro, g, prologue_act, x2=xs, emit_stats=emit_stats,
-            res=None if rk is None else (rk, rb))
+            res=None if rk is None else (rk, rb), halo=halo,
+            halo_keep=halo_keep)
 
     # differentiate w.r.t. the present (non-None) args only
     idx = [i for i, v in enumerate(vals) if v is not None]
@@ -406,7 +457,7 @@ def _conv3_bwd(g, precision, prologue_act, interpret, dilated_depth,
     out = [None] * len(vals)
     for i, gv in zip(idx, grads):
         out[i] = gv
-    return tuple(out)
+    return tuple(out) + (None,)  # halo_keep: non-differentiable 0/1 data
 
 
 _conv3_vjp.defvjp(_conv3_fwd, _conv3_bwd)
@@ -419,7 +470,9 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
                interpret: Optional[bool] = None,
                dilated_depth: Optional[int] = None,
                emit_stats: bool = False,
-               residual: Optional[Tuple[jax.Array, jax.Array]] = None):
+               residual: Optional[Tuple[jax.Array, jax.Array]] = None,
+               halo: bool = False,
+               halo_keep: Optional[jax.Array] = None):
     """k=3/s=1 SAME conv on the flat padded layout.
 
     Args:
@@ -444,6 +497,19 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
             residual conv of V-Net's sections reads the input for free
             here instead of re-reading it from HBM. Requires
             ``prologue is None`` and no ``dilated_depth``.
+        halo: the border planes of ``x_flat`` hold REAL neighbor data
+            (depth-axis spatial sharding: one-plane halo exchange per
+            conv — ``parallel/halo.py``) instead of zero pads. They
+            feed the first/last valid output planes; output borders
+            and the residual tap stay interior-only, and ``emit_stats``
+            sums stay local-interior (psum them across the shard axis
+            for global GroupNorm moments). Incompatible with
+            ``dilated_depth``.
+        halo_keep: (2,) 0/1 floats — validity of the first/last halo
+            plane. The global-end shards receive zero halos that a
+            prologue would turn into ``act(shift)``; passing 0 there
+            re-zeroes them post-prologue (exact SAME-conv zero pads).
+            Default: both valid.
 
     Returns:
         (Dp, co, Npl) with clean zero borders (bias applied inside the
@@ -470,9 +536,18 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
         res_bias = residual[1]
     else:
         res_kernel = res_bias = None
+    if halo and dilated_depth is not None:
+        raise ValueError("conv3_flat(halo=True) does not compose with "
+                         "dilated_depth (transposed convs exchange "
+                         "SOURCE planes before dilation)")
+    hk = None
+    if halo:
+        hk = (jnp.ones((2,), jnp.float32) if halo_keep is None
+              else jnp.asarray(halo_keep, jnp.float32))
     return _conv3_vjp(x_flat, x2, kernel, bias, prologue, res_kernel,
-                      res_bias, g, precision, prologue_act,
-                      bool(interpret), dilated_depth, bool(emit_stats))
+                      res_bias, hk, g, precision, prologue_act,
+                      bool(interpret), dilated_depth, bool(emit_stats),
+                      bool(halo))
 
 
 def apply_affine_act_flat(x_flat, scale, shift, act: Optional[str]):

@@ -586,6 +586,14 @@ class HartleyMHASeg(_TransSegBase):
         if (self.compute_dtype != "bfloat16"
                 and spectral.PRECISION == jax.lax.Precision.HIGHEST):
             return False
+        # bf16: the round-4 zoo re-check mirrors the FNO/HNO flip — the
+        # module path (26.73 ms) beats the fused kernel (39.72 ms) once
+        # the inverse-axis-order + single-pass bf16 dot fixes landed, so
+        # MHA fuses ONLY at fp32-'high' (50.86 vs 53.88 module, same
+        # rerun). M3SEG_TOWER_FUSED=1 keeps the bf16 fused path
+        # reachable for A/Bs (BENCH_ZOO.json round 4; DESIGN.md §8b).
+        if self.compute_dtype == "bfloat16" and not _fused_tower_opt_in():
+            return False
         if not (self.use_pallas and self.ndim == 5
                 and self.channel_first_io and x_cf.shape[0] == 1
                 and is_selu(self.activation)

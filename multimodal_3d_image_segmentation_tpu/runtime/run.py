@@ -144,17 +144,24 @@ def run(config_args):
         # The Pallas kernel paths have no SPMD partitioning rules. Under a
         # data-only mesh they compose via a shard_map wrapper (the train
         # engine wraps model.apply; each device traces its per-device
-        # batch). Under spatial sharding the kernels would need halo
-        # exchanges — drop the flags loudly and run the
-        # (sharding-transparent) XLA module path.
+        # batch). Under spatial sharding the flat conv kernel DOES
+        # compose at the op level (parallel/halo.py: depth-sharded
+        # shard_map + one-plane ppermute halo exchange + psum'd GN
+        # moments), but the whole-model flat forward (stride changes,
+        # resizes, layout entry/tail) is not yet expressed shard_map-
+        # wise — drop the flags loudly and run the (sharding-
+        # transparent) XLA module path.
         if par.get("n_spatial", 1) > 1:
             for flag in ("use_pallas", "use_flat"):
                 if config_args.get("model", {}).pop(flag, None):
                     print(f"Warning: [model] {flag} is disabled under "
-                          "[parallel] spatial sharding (Pallas kernels "
-                          "are single-device; the XLA module path shards "
-                          "transparently). Data-only meshes (n_spatial=1) "
-                          "compose with the kernels via shard_map.")
+                          "[parallel] spatial sharding (the whole-model "
+                          "kernel paths are single-device; the XLA "
+                          "module path shards transparently; the op-"
+                          "level kernel composition lives in "
+                          "parallel/halo.py). Data-only meshes "
+                          "(n_spatial=1) compose with the kernels via "
+                          "shard_map.")
 
     # Train or read model
     model = None

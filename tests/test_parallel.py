@@ -227,3 +227,96 @@ def test_shard_map_apply_composes_pallas_with_dp(monkeypatch):
     want3 = np.asarray(ref.apply({"params": params}, x3))
     got3 = np.asarray(jax.jit(apply_fn)(ps, x3))
     np.testing.assert_allclose(got3, want3, atol=2e-4, rtol=1e-3)
+
+
+class TestHaloShardedConv:
+    """Depth-sharded flat Pallas conv (parallel/halo.py): the kernel∘
+    spatial-sharding composition must match single-device conv3_flat
+    exactly (same kernel, same precision class, global GN moments)."""
+
+    def _case(self, d=16, h=10, w=9, ci=6, co=5, seed=0):
+        from multimodal_3d_image_segmentation_tpu.ops.flatvol import (
+            flat_geom, to_flat)
+        rng = np.random.default_rng(seed)
+        x4 = rng.standard_normal((ci, d, h, w)).astype(np.float32)
+        k = (rng.standard_normal((3, 3, 3, ci, co)) * 0.2).astype(
+            np.float32)
+        b = rng.standard_normal((co,)).astype(np.float32)
+        g = flat_geom(d, h, w)
+        return jnp.asarray(x4), jnp.asarray(k), jnp.asarray(b), g, \
+            to_flat(jnp.asarray(x4), g)
+
+    @pytest.mark.parametrize("n_spatial", [2, 4, 8])
+    def test_matches_single_device(self, n_spatial):
+        from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat \
+            import conv3_flat
+        from multimodal_3d_image_segmentation_tpu.parallel.halo import (
+            conv3_flat_sharded)
+        x4, k, b, g, xf = self._case()
+        want, want_stats = conv3_flat(xf, k, b, g, emit_stats=True)
+        mesh = make_mesh(n_data=8 // n_spatial, n_spatial=n_spatial)
+        got, got_stats = conv3_flat_sharded(xf, k, b, g, mesh,
+                                            emit_stats=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_stats),
+                                   np.asarray(want_stats), rtol=1e-5)
+
+    def test_residual_tap_and_prologue(self):
+        from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat \
+            import conv3_flat
+        from multimodal_3d_image_segmentation_tpu.parallel.halo import (
+            conv3_flat_sharded)
+        x4, k, b, g, xf = self._case(d=12)
+        mesh = make_mesh(n_data=2, n_spatial=4)
+        rng = np.random.default_rng(3)
+        rk = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
+        rb = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+        want, want_r = conv3_flat(xf, k, b, g, residual=(rk, rb))
+        got, got_r = conv3_flat_sharded(xf, k, b, g, mesh,
+                                        residual=(rk, rb))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=1e-5)
+
+        scale = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+        shift = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+        want_p = conv3_flat(xf, k, b, g, prologue=(scale, shift),
+                            prologue_act="elu")
+        got_p = conv3_flat_sharded(xf, k, b, g, mesh,
+                                   prologue=(scale, shift),
+                                   prologue_act="elu")
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                                   atol=1e-5)
+
+    def test_gradients_match(self):
+        from multimodal_3d_image_segmentation_tpu.kernels.conv3d_flat \
+            import conv3_flat
+        from multimodal_3d_image_segmentation_tpu.parallel.halo import (
+            conv3_flat_sharded)
+        x4, k, b, g, xf = self._case(d=8)
+        mesh = make_mesh(n_data=4, n_spatial=2)
+
+        def loss_single(args):
+            xf_, k_, b_ = args
+            return jnp.sum(conv3_flat(xf_, k_, b_, g) ** 2)
+
+        def loss_sharded(args):
+            xf_, k_, b_ = args
+            return jnp.sum(conv3_flat_sharded(xf_, k_, b_, g, mesh) ** 2)
+
+        g1 = jax.grad(loss_single)((xf, k, b))
+        g2 = jax.grad(loss_sharded)((xf, k, b))
+        for a, c in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=2e-5, atol=1e-4)
+
+    def test_indivisible_depth_raises(self):
+        from multimodal_3d_image_segmentation_tpu.parallel.halo import (
+            conv3_flat_sharded)
+        x4, k, b, g, xf = self._case(d=10)
+        mesh = make_mesh(n_data=2, n_spatial=4)
+        with pytest.raises(ValueError, match="do not divide"):
+            conv3_flat_sharded(xf, k, b, g, mesh)

@@ -312,12 +312,18 @@ def test_mha_fused_gate_honors_highest(monkeypatch):
     assert not m._use_fused_tower(x)
     monkeypatch.setattr(spectral, "PRECISION", jax.lax.Precision.HIGH)
     assert m._use_fused_tower(x)
-    # bf16 activations are unaffected by the fp32 knob
+    # bf16 serves the module path since the round-4 zoo re-check
+    # (26.73 ms module vs 39.72 fused) unless the fused A/B opt-in is on
     monkeypatch.setattr(spectral, "PRECISION", jax.lax.Precision.HIGHEST)
     mb = architectures.HartleyMHASeg(2, 3, 4, 2, 2, (2, 2, 2),
                                      use_pallas=True,
                                      compute_dtype="bfloat16")
-    assert mb._use_fused_tower(x)
+    assert not mb._use_fused_tower(x)
+    architectures.set_fused_tower(True)
+    try:
+        assert mb._use_fused_tower(x)
+    finally:
+        architectures.set_fused_tower(None)
 
 
 def test_fused_tower_train_step_bf16(monkeypatch):
