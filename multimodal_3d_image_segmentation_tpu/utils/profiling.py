@@ -28,6 +28,17 @@ __all__ = ["trace", "device_memory_stats", "Timer", "timed_loop_ms",
            "timed_loop_pairs_ms"]
 
 
+def _readback_scalar(y) -> jnp.ndarray:
+    """Cheap data-dependent scalar over an arbitrary output pytree.
+
+    Strided 1/4097 subsampling keeps the reduction negligible next to the
+    measured computation while still touching every leaf (so XLA cannot
+    dead-code any output)."""
+    parts = [jnp.sum(jnp.ravel(leaf)[::4097]).astype(jnp.float32)
+             for leaf in jax.tree_util.tree_leaves(y)]
+    return sum(parts) * jnp.float32(1e-12)
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Collect a jax.profiler trace into ``logdir``."""
@@ -91,10 +102,9 @@ def timed_loop_ms(fn: Callable, x, n_short: int = 2, n_long: int = 10,
     def loop(n, x):
         def body(_, carry):
             xc, acc = carry
-            y = fn(xc)
-            s = jnp.sum(jnp.ravel(y)[::4097]) * 1e-12
+            s = _readback_scalar(fn(xc))
             nxt = xc + s.astype(xc.dtype) if perturb else xc
-            return nxt, acc + s.astype(jnp.float32)
+            return nxt, acc + s
 
         _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
         return acc
@@ -132,10 +142,9 @@ def timed_loop_pairs_ms(fn: Callable, x, n_short: int = 2,
     def loop(n, x):
         def body(_, carry):
             xc, acc = carry
-            y = fn(xc)
-            s = jnp.sum(jnp.ravel(y)[::4097]) * 1e-12
+            s = _readback_scalar(fn(xc))
             nxt = xc + s.astype(xc.dtype) if perturb else xc
-            return nxt, acc + s.astype(jnp.float32)
+            return nxt, acc + s
 
         _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
         return acc
