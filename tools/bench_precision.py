@@ -47,26 +47,41 @@ MODEL_FAMILIES = {
         4, 4, 24, 24, (10, 14, 14), "Fourier", **kw),
     "hnoseg": lambda **kw: models.NeuralOperatorSeg(
         4, 4, 24, 24, (10, 14, 14), "Hartley", **kw),
+    # same constructions the zoo benchmarks (tools/bench_all_models.py)
+    "hartleymha": lambda **kw: models.HartleyMHASeg(
+        4, 4, 24, 16, 4, (8, 12, 12), 2, **kw),
+    "vnet_ds": lambda **kw: models.VNetDS(
+        4, 4, 24, [1, 2, 3, 3, 3],
+        right_leg_indexes=[0, 1, 2, 3, 4], **kw),
 }
 
 
 def blob_volume(rng, shape):
     """Multi-blob volume with 3 foreground classes; geometry defined in
-    normalized coordinates so low- and high-res draws are consistent."""
+    normalized coordinates so low- and high-res draws are consistent.
+
+    Round-4 recipe fix: the original 0.3r class-3 core was 3-6 voxels
+    across at train resolution and keyed by no input channel — the
+    flagship never learned it, making its precision delta trivially
+    zero (VERDICT r3 weak #2). Shells are now wide enough to survive
+    120^3 rasterization and every foreground class has its own intensity
+    key, so a converged network has nonzero Dice on ALL classes.
+    """
     zz, yy, xx = np.meshgrid(*[np.linspace(0, 1, s) for s in shape],
                              indexing="ij")
     seg = np.zeros(shape, np.int32)
     for _ in range(3):
-        c = rng.uniform(0.25, 0.75, 3)
-        r = rng.uniform(0.08, 0.18)
+        c = rng.uniform(0.22, 0.78, 3)
+        r = rng.uniform(0.12, 0.22)
         d2 = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
         seg[d2 < r ** 2] = 1
-        seg[d2 < (0.6 * r) ** 2] = 2
-        seg[d2 < (0.3 * r) ** 2] = 3
+        seg[d2 < (0.72 * r) ** 2] = 2
+        seg[d2 < (0.45 * r) ** 2] = 3
     x = np.stack([seg * 2.0 + rng.standard_normal(shape) * 0.5,
                   -seg + rng.standard_normal(shape) * 0.5,
                   (seg == 2) * 3.0 + rng.standard_normal(shape) * 0.5,
-                  rng.standard_normal(shape) * 0.5]).astype(np.float32)
+                  (seg == 3) * 3.0 + rng.standard_normal(shape) * 0.5]
+                 ).astype(np.float32)
     return x, seg
 
 
@@ -84,6 +99,10 @@ def train(family="hnoseg_xs", params_seed=0):
     spectral.set_fp32_transform_precision("highest")
     model = MODEL_FAMILIES[family]()
     xs, ys = make_dataset(1, N_TRAIN, TRAIN_SHAPE)
+    fracs = [float(np.mean(ys == c)) for c in range(4)]
+    print("train class fractions:",
+          " ".join(f"{f:.4f}" for f in fracs), flush=True)
+    assert all(f > 1e-4 for f in fracs), "a class rasterized away"
     schedule = build_schedule(
         {"scheduler_name": "CosineAnnealingWarmRestarts", "eta_min": 1e-3},
         5e-3, N_TRAIN, STEPS // N_TRAIN)
@@ -168,6 +187,9 @@ def main():
                    [round(float(v), 5) for v in mean_d]}
             if name == "fp32_highest":   # deltas ONLY vs the true oracle
                 ref_dice, ref_preds = mean_d, preds
+                # a ~0-Dice class makes its delta trivially zero — flag
+                # it so the claim cannot silently rest on a dead class
+                rec["all_classes_learned"] = bool(np.all(mean_d > 0.2))
             elif ref_dice is not None:
                 rec["dice_delta_vs_highest"] = [
                     round(float(v - r), 5)
