@@ -183,6 +183,25 @@ class HartleyMHABlock(nn.Module, _TransBlockMixin):
 class _TransSegBase(nn.Module):
     """Shared tower forward (reference ``nets/architectures.py:282-353``)."""
 
+    def _use_pallas_entry(self, x_cf) -> bool:
+        """Route the module path's entry conv through the fused Pallas
+        conv_in kernel. The XLA module entry marshals the channel-first
+        input through a pad + relayout copy + two full-resolution
+        transposes before the stride-2 conv (~690 MB of HBM traffic at
+        the bench shape, seen in the optimized HLO); ``conv_in_s2d``
+        reads the raw channel-first tensor once and emits the
+        channels-last tower grid directly. Env override
+        ``M3SEG_PALLAS_ENTRY``: "1" forces on (interpret mode off-TPU,
+        for tests), "0" forces off, default auto (TPU only)."""
+        import os
+        mode = os.environ.get("M3SEG_PALLAS_ENTRY", "auto")
+        if mode == "0":
+            return False
+        return (getattr(self, "use_pallas", False) and self.ndim == 5
+                and self.use_resize and self.channel_first_io
+                and x_cf.shape[0] == 1 and is_selu(self.activation)
+                and (mode == "1" or jax.default_backend() == "tpu"))
+
     def _fused_entry(self, x):
         """conv_in (+ SELU) and conv1 into the tower flat layout:
         channel-first (1, C, D, H, W) -> ((D, F, W*HL), tower sizes)."""
@@ -229,17 +248,24 @@ class _TransSegBase(nn.Module):
         x_flat = packed_high_dcn_mix(x_flat, mat)
         return self._fused_exit(x_flat, sizes, image_size, in_dtype)
 
-    def _tower(self, x, make_block):
+    def _tower(self, x, make_block, x_entry=None):
         snn = is_selu(self.activation)
         in_dtype = x.dtype
-        x = x.astype(self.compute_dtype)
-        image_size = x.shape[1:-1]
         tensors = []
 
-        if self.use_resize:
-            x = ConvNormAct(self.filters, kernel_size=2, strides=2,
-                            use_bias=True, activation=self.activation,
-                            use_snn=snn, name="conv_in")(x)
+        if x_entry is not None:
+            # Pallas entry (``_use_pallas_entry``): x is the raw
+            # channel-first input (bookkeeping only); x_entry is the
+            # post-conv_in channels-last tower tensor
+            image_size = x.shape[2:]
+            x = x_entry
+        else:
+            x = x.astype(self.compute_dtype)
+            image_size = x.shape[1:-1]
+            if self.use_resize:
+                x = ConvNormAct(self.filters, kernel_size=2, strides=2,
+                                use_bias=True, activation=self.activation,
+                                use_snn=snn, name="conv_in")(x)
 
         x = ConvNormAct(self.filters, use_bias=True,
                         activation=self.activation, use_snn=snn,
@@ -268,6 +294,24 @@ class _TransSegBase(nn.Module):
                  name="conv_out")(x)
         return _channel_first_tail(x, image_size, self.use_resize, in_dtype,
                                    self.output_activation)
+
+
+class _TowerEntryCL(nn.Module):
+    """Module-path tower entry conv (k=2/s=2/pad=1 + SELU) via the fused
+    Pallas kernel: channel-first raw input -> channels-last tower grid,
+    skipping the XLA entry's full-resolution marshalling.
+    ConvNormAct's exact parameter tree (``conv_in/conv/{kernel,bias}``)."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x_cf):
+        from ..kernels.conv_in import conv_in_s2d
+        from .hnosegxs import _ConvParams
+        kernel, bias = _ConvParams(self.features, self.in_features, 2,
+                                   True, name="conv")()
+        return conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
+                           bias.astype(x_cf.dtype), apply_selu=True)
 
 
 class _TowerConvIn(nn.Module):
@@ -497,8 +541,14 @@ class NeuralOperatorSeg(_TransSegBase):
         assert self.ndim in (4, 5)
         if self.channel_first_io and self._use_fused_tower(x):
             return self._fused_tower_forward(x)
+        x_entry = None
         if self.channel_first_io:
-            x = _to_channels_last(x)
+            if self._use_pallas_entry(x):
+                x_entry = _TowerEntryCL(self.filters, x.shape[1],
+                                        name="conv_in")(
+                    x.astype(self.compute_dtype))
+            else:
+                x = _to_channels_last(x)
 
         def make_block(i, cur_in):
             return NeuralOperatorBlock(
@@ -508,7 +558,7 @@ class NeuralOperatorSeg(_TransSegBase):
                 use_block_skip=self.use_block_skip,
                 use_block_concat=self.use_block_concat, name=f"layers_{i}")
 
-        x = self._tower(x, make_block)  # returns channel-first
+        x = self._tower(x, make_block, x_entry)  # returns channel-first
         if not self.channel_first_io:
             x = _to_channels_last(x)
         return x
@@ -687,8 +737,14 @@ class HartleyMHASeg(_TransSegBase):
         assert self.ndim in (4, 5)
         if self.channel_first_io and self._use_fused_tower(x):
             return self._fused_mha_forward(x)
+        x_entry = None
         if self.channel_first_io:
-            x = _to_channels_last(x)
+            if self._use_pallas_entry(x):
+                x_entry = _TowerEntryCL(self.filters, x.shape[1],
+                                        name="conv_in")(
+                    x.astype(self.compute_dtype))
+            else:
+                x = _to_channels_last(x)
 
         def make_block(i, cur_in):
             return HartleyMHABlock(
@@ -700,7 +756,7 @@ class HartleyMHASeg(_TransSegBase):
                 use_block_skip=self.use_block_skip,
                 use_block_concat=self.use_block_concat, name=f"layers_{i}")
 
-        x = self._tower(x, make_block)  # returns channel-first
+        x = self._tower(x, make_block, x_entry)  # returns channel-first
         if not self.channel_first_io:
             x = _to_channels_last(x)
         return x

