@@ -48,28 +48,34 @@ def _builders():
     }
 
 
-# (family, variant-label, kwargs). The first row per family is the
-# shipped configuration; labels name the code path actually measured.
+# (family, variant-label, builder, kwargs[, transform-precision]).
+# The first row per family is the shipped configuration; labels name the
+# code path actually measured.
 def _rows():
     b = _builders()
     bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
     rows = [
         ("HNOSeg-XS", "fp32_high_pallas", b["HNOSeg-XS"],
          dict(use_pallas=True)),
+        ("HNOSeg-XS", "fp32_highest_pallas", b["HNOSeg-XS"],
+         dict(use_pallas=True), "highest"),
         ("HNOSeg-XS", "bf16_pallas", b["HNOSeg-XS"], bf16),
     ]
     for fam in ("FNOSeg", "HNOSeg"):
-        # the tower families serve the XLA module path at every dtype
-        # since the round-3 routing flip (docs/DESIGN.md §8b): the
-        # module path measured 20.4/22.3 ms bf16 vs 50-53 ms fused
-        rows.append((fam, "fp32_high_module", b[fam],
+        # the tower families serve the XLA module tower at every dtype
+        # since the round-3 routing flip (docs/DESIGN.md §8b); with
+        # use_pallas their entry conv + resize run the Pallas conv_in /
+        # matmul-resize path (round 4), hence the label
+        rows.append((fam, "fp32_high_module_pallas_entry", b[fam],
                      dict(use_pallas=True)))
-        rows.append((fam, "bf16_module", b[fam], bf16))
+        rows.append((fam, "bf16_module_pallas_entry", b[fam], bf16))
     rows += [
         ("HartleyMHA", "fp32_high_fused_pallas", b["HartleyMHA"],
          dict(use_pallas=True)),
         ("HartleyMHA", "fp32_high_module", b["HartleyMHA"], dict()),
-        ("HartleyMHA", "bf16_fused_pallas", b["HartleyMHA"], bf16),
+        # bf16 MHA routes the module tower (+ Pallas entry) since the
+        # round-4 re-check (module 26.7 < fused 39.7 ms)
+        ("HartleyMHA", "bf16_module_pallas_entry", b["HartleyMHA"], bf16),
         ("HartleyMHA", "bf16_module", b["HartleyMHA"],
          dict(compute_dtype="bfloat16")),
         ("V-Net-DS", "fp32_high_flat_pallas", b["V-Net-DS"],
@@ -92,17 +98,19 @@ def _compiled_hbm_mib(fn, x):
         return None
 
 
-def main(artifact=False):
+def main(artifact=False, family=None):
     from multimodal_3d_image_segmentation_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     # fp32 rows run serving precision ('high') for the fp32 transform
     # matmuls — measure what the shipped configs give users
     from multimodal_3d_image_segmentation_tpu.ops import spectral
-    spectral.set_fp32_transform_precision("high")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
     rows = []
-    for name, variant, build, kw in _rows():
+    for name, variant, build, kw, *prec in _rows():
+        if family is not None and name != family:
+            continue
+        spectral.set_fp32_transform_precision(prec[0] if prec else "high")
         try:
             model = build(**kw)
             params = model.init(jax.random.PRNGKey(0),
@@ -140,12 +148,12 @@ def main(artifact=False):
             rows.append({"model": name, "variant": variant,
                          "error": f"{type(e).__name__}"})
         if artifact:  # incremental: survive a later-row crash
-            _write(rows)
+            _write(rows, merge=family is not None)
     if artifact:
-        _write(rows, final=True)
+        _write(rows, final=True, merge=family is not None)
 
 
-def _write(rows, final=False):
+def _write(rows, final=False, merge=False):
     out = {
         "shape": list(SHAPE),
         "protocol": "chained fori_loop, per-volume median "
@@ -160,6 +168,21 @@ def _write(rows, final=False):
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_ZOO.json")
+    if merge and os.path.exists(path):
+        # family-filtered rerun: update matching rows in place, keep the
+        # rest of the committed artifact, preserve row order
+        with open(path) as f:
+            existing = json.load(f)["models"]
+        fresh = {(r["model"], r["variant"]): r for r in rows}
+        merged = []
+        for r in existing:
+            merged.append(fresh.pop((r["model"], r["variant"]), r))
+        # new variants slot in after their family's last existing row
+        for (name, _), r in fresh.items():
+            idx = max((i for i, e in enumerate(merged)
+                       if e["model"] == name), default=len(merged) - 1)
+            merged.insert(idx + 1, r)
+        out["models"] = merged
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     if final:
@@ -167,4 +190,7 @@ def _write(rows, final=False):
 
 
 if __name__ == "__main__":
-    main(artifact="--artifact" in sys.argv[1:])
+    fam = None
+    if "--family" in sys.argv[1:]:
+        fam = sys.argv[sys.argv.index("--family") + 1]
+    main(artifact="--artifact" in sys.argv[1:], family=fam)

@@ -23,6 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 import argparse
 import json
+import os
 
 import numpy as np
 import jax
@@ -201,8 +202,7 @@ def main():
             print(family, name, rec, flush=True)
         results[family] = fam_res
         if args.artifact:  # incremental: survive a later-family crash
-            with open("/root/repo/BENCH_PRECISION.json", "w") as f:
-                json.dump(results, f, indent=1)
+            _write(results)
 
     results["protocol"] = (
         "per family: train on synthetic blob volumes at 120x120x78 "
@@ -210,9 +210,21 @@ def main():
         "at 240x240x155 under each serving mode; "
         "Dice bar: |delta| <= 0.001 (0.1%, BASELINE.md)")
     if args.artifact:
-        with open("/root/repo/BENCH_PRECISION.json", "w") as f:
-            json.dump(results, f, indent=1)
+        _write(results)
         print("wrote BENCH_PRECISION.json")
+
+
+def _write(results):
+    # merge-update: a family-filtered rerun must not drop the other
+    # families' committed rows
+    path = "/root/repo/BENCH_PRECISION.json"
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    out.update(results)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

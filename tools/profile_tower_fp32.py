@@ -54,10 +54,9 @@ def main():
     d, h, w = sizes
     x_grid = jnp.asarray(  # channels-last, the module path's layout
         rng.standard_normal((1, d, h, w, C)).astype(np.float32) * 0.1)
-    gb = x_grid.nbytes / 1e9
-    unit_ms = gb / 0.230 * 1000
+    unit_ms = x_grid.nbytes / 230e9 * 1e3
     print(f"tower grid {sizes}, volume tensor {x_grid.nbytes / 1e6:.0f} MB"
-          f" -> 1 pass @230GB/s = {unit_ms:.2f} ms", flush=True)
+          f" -> 1 pass @230GB/s = {unit_ms:.3f} ms", flush=True)
 
     # pure elementwise pass = the measured bandwidth unit (pays the
     # jit-boundary lane tax like every standalone row below)
