@@ -33,7 +33,8 @@ from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
-from ..ops.spectral import (_prec, flat_concat_mix, packed_high_dcn_mix)
+from ..ops.spectral import (_prec, flat_concat_mix, packed_high_channel_mix,
+                            packed_high_dcn_mix)
 
 _FUSED_TOWER = None  # tri-state: None -> env M3SEG_TOWER_FUSED (default off)
 
@@ -267,20 +268,53 @@ class _TransSegBase(nn.Module):
                                 use_bias=True, activation=self.activation,
                                 use_snn=snn, name="conv_in")(x)
 
+        # Deep supervision: the reference concatenates every block output
+        # and reduces with conv_ds (nets/architectures.py:300-341). A
+        # virtual concat avoids materializing the stack, but holding all
+        # nb+1 full-grid parts live until the tail still peaks at
+        # ~(nb+1) volume buffers (measured 3.24 GiB on the 24-block MHA
+        # tower). Fold each part's conv_ds rows into a running
+        # out_channels-wide accumulator instead — identical addition
+        # order to ConcatConvNormAct's split-kernel sum (bit-exact),
+        # identical param tree (conv_ds/conv/{kernel,bias}), peak live
+        # set ~2 volume buffers. SNN/3-D only (the non-SNN tail needs
+        # conv_ds/norm GroupNorm params -> legacy list path).
+        mds = bds = ds_acc = None
+        if self.use_deep_supervision and snn and self.ndim == 5:
+            fan_in = self.filters * (1 + self.num_transform_blocks)
+            kds, bds = _CCHolder(self.out_channels, fan_in,
+                                 name="conv_ds")()
+            mds = kds.reshape(fan_in, self.out_channels)
+
+        def ds_fold(acc, part, idx):
+            off = idx * self.filters
+            p = packed_high_channel_mix(
+                "...i,io->...o", part, mds[off:off + self.filters], -1)
+            return p if acc is None else acc + p
+
         x = ConvNormAct(self.filters, use_bias=True,
                         activation=self.activation, use_snn=snn,
                         name="conv1")(x)
         if self.use_deep_supervision:
-            tensors.append(x)
+            if mds is not None:
+                ds_acc = ds_fold(ds_acc, x, 0)
+            else:
+                tensors.append(x)
 
         cur_in = self.filters
         for i in range(self.num_transform_blocks):
             x = make_block(i, cur_in)(x)
             cur_in = self.filters
             if self.use_deep_supervision:
-                tensors.append(x)
+                if mds is not None:
+                    ds_acc = ds_fold(ds_acc, x, i + 1)
+                else:
+                    tensors.append(x)
 
-        if tensors:
+        if ds_acc is not None:
+            ds_acc = ds_acc + bds.astype(ds_acc.dtype)
+            x = get_activation(self.activation)(ds_acc)
+        elif tensors:
             # conv_ds avoids OOM on the concatenated deep-supervision stack;
             # the concat stays virtual (split-kernel 1x1)
             x = ConcatConvNormAct(self.out_channels, use_bias=True,
