@@ -41,9 +41,10 @@ NB_LO, NB_HI = 2, 8
 
 
 def chain_marginal(transform, precision="high", dtype=jnp.float32,
-                   **block_kw):
+                   packed_mix=False, **block_kw):
     spectral.set_fp32_transform_precision(
         precision if dtype == jnp.float32 else "highest")
+    spectral.set_packed_mix(packed_mix)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(GRID).astype(np.float32) * .1,
                     dtype=dtype)
@@ -78,6 +79,10 @@ def main():
                                        use_block_concat=False)),
         ("no block skip", dict(precision="high", use_block_skip=False)),
         ("bf16 activations", dict(dtype=jnp.bfloat16)),
+        # single-pass [hi;hi;lo] packed K=24 tail mixes (conv branch +
+        # ccna parts) instead of XLA's HIGH hi/lo-split 3-dot lowering
+        ("packed tail mixes @'high'", dict(precision="high",
+                                           packed_mix=True)),
     ]
     for transform in transforms:
         print(f"--- {transform} block chains, nb {NB_LO}->{NB_HI} "
@@ -92,6 +97,7 @@ def main():
                 print(f"{name:36s} FAILED {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
     spectral.set_fp32_transform_precision("highest")
+    spectral.set_packed_mix(False)
 
 
 if __name__ == "__main__":

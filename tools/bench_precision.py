@@ -166,6 +166,10 @@ def main():
     modes = {
         "fp32_highest": ("highest", False, "float32"),
         "fp32_high_pallas": ("high", True, "float32"),
+        # fp32 activations + single-pass bf16 dots: the tower families'
+        # candidate fast serving point (ablate_tower_fp32: 1.07 vs
+        # 1.86 ms/block at 'high') — quality must clear the same bar
+        "fp32_default_pallas": ("default", True, "float32"),
         "bf16_pallas": ("high", True, "bfloat16"),
     }
     results = {"train_shape": list(TRAIN_SHAPE),
