@@ -19,51 +19,59 @@ from .augmentation import ImageTransform
 __all__ = ["MultimodalImageDataset", "InputData"]
 
 
+def _identity(sample):
+    return sample
+
+
 class MultimodalImageDataset:
-    """Stacks per-modality samples into channel-first arrays
-    (reference ``experiments/data_io/dataset.py:14-60``).
+    """Random-access view of per-modality sample lists as channel-first
+    arrays (behavioral contract of reference
+    ``experiments/data_io/dataset.py:14-60``; the ctor keywords are the
+    ``[input_args]`` config keys and must keep these names).
+
+    Sample ``idx`` is assembled as: read + stack the x modalities ->
+    ``x_processing`` (e.g. z-score normalization) -> joint random
+    ``transform`` of (x, y). Labels are just another modality list
+    selected by ``idx_y_modalities``; without it the dataset yields x
+    only (the inference flow).
 
     Args:
-        data_lists: list of per-modality filename lists.
-        reader: filename -> numpy array (default: identity).
+        data_lists: list of per-modality filename lists (equal lengths).
+        reader: filename -> numpy array (default: identity, for
+            pre-loaded arrays).
         idx_x_modalities / idx_y_modalities: modality indices for inputs /
-            labels (labels count as a modality).
-        x_processing: e.g. normalization, applied to the stacked x.
-        transform: joint random augmentation applied to (x, y).
+            labels; ``idx_x_modalities=None`` selects every modality as
+            input (and requires no labels).
+        x_processing: applied to the stacked x before augmentation.
+        transform: joint random augmentation applied to (x, y) or x.
     """
 
     def __init__(self, data_lists, reader=None, idx_x_modalities=None,
                  idx_y_modalities=None, x_processing=None, transform=None):
+        if idx_x_modalities is None and idx_y_modalities is not None:
+            raise ValueError("idx_y_modalities requires idx_x_modalities")
         self.data_lists = data_lists
-        self.reader = reader or (lambda x: x)
-        self.idx_x_modalities = idx_x_modalities
+        self.reader = reader or _identity
+        self.idx_x_modalities = (list(range(len(data_lists)))
+                                 if idx_x_modalities is None
+                                 else idx_x_modalities)
         self.idx_y_modalities = idx_y_modalities
-        self.x_processing = x_processing
+        self.x_processing = x_processing or _identity
         self.transform = transform
-
-        if self.idx_x_modalities is None:
-            assert self.idx_y_modalities is None
-            self.idx_x_modalities = list(range(len(self.data_lists)))
 
     def __len__(self):
         return len(self.data_lists[0])
 
+    def _stack(self, modalities, idx):
+        return np.stack([self.reader(self.data_lists[m][idx])
+                         for m in modalities])
+
     def __getitem__(self, idx):
-        x = np.stack([self.reader(self.data_lists[m][idx])
-                      for m in self.idx_x_modalities])
-        if self.x_processing is not None:
-            x = self.x_processing(x)
-
-        if self.idx_y_modalities is not None:
-            y = np.stack([self.reader(self.data_lists[m][idx])
-                          for m in self.idx_y_modalities])
-            if self.transform is not None:
-                x, y = self.transform(x, y)
-            return x, y
-
-        if self.transform is not None:
-            x = self.transform(x)
-        return x
+        x = self.x_processing(self._stack(self.idx_x_modalities, idx))
+        if self.idx_y_modalities is None:
+            return x if self.transform is None else self.transform(x)
+        y = self._stack(self.idx_y_modalities, idx)
+        return (x, y) if self.transform is None else self.transform(x, y)
 
 
 # -- worker-process plumbing -------------------------------------------------

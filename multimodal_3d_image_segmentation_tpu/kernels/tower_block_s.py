@@ -78,6 +78,7 @@ def is_enabled() -> bool:
 
 
 _HW_PROBE_OK = None  # cached per process: None -> not yet probed
+_HW_PROBE_WHY = ""  # cause of a False verdict: miscompute vs probe crash
 
 
 def _hw_probe_ok() -> bool:
@@ -93,7 +94,7 @@ def _hw_probe_ok() -> bool:
     real backend; only a numerically correct result unlocks the route,
     so no env var can produce silently wrong segmentations.
     """
-    global _HW_PROBE_OK
+    global _HW_PROBE_OK, _HW_PROBE_WHY
     if _HW_PROBE_OK is not None:
         return _HW_PROBE_OK
 
@@ -119,8 +120,17 @@ def _hw_probe_ok() -> bool:
         got = np.asarray(jax.jit(f)(m, x))
         want = np.einsum("kd,dab->kab", m, 2.0 * x)
         _HW_PROBE_OK = bool(np.allclose(got, want, atol=1e-3, rtol=1e-3))
-    except Exception:
+        if not _HW_PROBE_OK:
+            _HW_PROBE_WHY = (
+                "the probe COMPUTES WRONG VALUES on this backend "
+                f"(maxdiff {float(np.max(np.abs(got - want))):.3g}; known "
+                "Mosaic miscompile, tools/proto_mosaic_probe4.py)")
+    except Exception as e:  # compile/dispatch failure, not a miscompute
         _HW_PROBE_OK = False
+        _HW_PROBE_WHY = (
+            "the probe could not run on this backend "
+            f"({type(e).__name__}: {str(e).splitlines()[0][:120]}) — "
+            "possibly transient; restart the process to re-probe")
     return _HW_PROBE_OK
 
 
@@ -457,10 +467,8 @@ def _fused_forward_s(x_flat, sy3, w_cat, w_cc_t, b_cat, spec, interpret,
                      ds_prev=None):
     if not interpret and not _hw_probe_ok():
         raise RuntimeError(
-            "tower_block_s (v5) is blocked on this backend: its "
-            "fori_loop scratch-row-write-then-dot pattern computes "
-            "WRONG values on this Mosaic (probe maxdiff ~0.118; "
-            "docs/ROADMAP.md / tools/proto_mosaic_probe4.py). Use the "
+            "tower_block_s (v5) is blocked on this backend: "
+            f"{_HW_PROBE_WHY}. Use the "
             "v2 kernel (tower_block.py) or the default XLA module "
             "path; the v5 route unlocks automatically on a stack "
             "where the probe passes.")

@@ -14,8 +14,11 @@ matmul reads the input once and writes the output once — the ~100x FLOP
 overhead on the zero taps is free on an otherwise-idle MXU (~0.2 ms for
 the largest axis at the bench shape vs ~2 ms of gather traffic).
 Accumulating the zero taps adds exactly 0.0 in fp, and the matmuls run
-at HIGHEST MXU precision with fp32 weights, so results keep fp32-exact
-PyTorch semantics:
+at HIGHEST MXU precision with fp32 weights, so results match the former
+two-tap gather form (``lo + (hi-lo)*w``) to within rounding: HIGHEST is
+bf16x6 on the MXU, so ``(1-w)*lo + w*hi`` accumulated there can differ
+from the fused-multiply gather form by ulps (parity tests bound the
+gap at <=3e-4 against PyTorch fp32). Index semantics are exact:
 
   * linear, align_corners=False: src = (dst + 0.5) * in/out - 0.5, clamped.
   * nearest: src = floor(dst * in / out).

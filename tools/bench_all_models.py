@@ -150,10 +150,14 @@ def main(artifact=False, family=None):
         if artifact:  # incremental: survive a later-row crash
             _write(rows, merge=family is not None)
     if artifact:
-        _write(rows, final=True, merge=family is not None)
+        # the final write of a --family rerun carries the COMPLETE fresh
+        # variant set for that family, so stale (renamed/removed) variant
+        # rows can be dropped from the committed artifact
+        _write(rows, final=True, merge=family is not None,
+               drop_stale_for=family)
 
 
-def _write(rows, final=False, merge=False):
+def _write(rows, final=False, merge=False, drop_stale_for=None):
     out = {
         "shape": list(SHAPE),
         "protocol": "chained fori_loop, per-volume median "
@@ -174,8 +178,15 @@ def _write(rows, final=False, merge=False):
         with open(path) as f:
             existing = json.load(f)["models"]
         fresh = {(r["model"], r["variant"]): r for r in rows}
+        fresh_variants = {r["variant"] for r in rows}
         merged = []
         for r in existing:
+            if (drop_stale_for is not None
+                    and r["model"] == drop_stale_for
+                    and r["variant"] not in fresh_variants):
+                print(f"dropping stale row {r['model']}/{r['variant']} "
+                      "(variant absent from the fresh rerun)")
+                continue
             merged.append(fresh.pop((r["model"], r["variant"]), r))
         # new variants slot in after their family's last existing row
         for (name, _), r in fresh.items():
