@@ -19,7 +19,7 @@ Public contract: channel-first input (B, C, *spatial), softmax output
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -796,24 +796,32 @@ class HartleyMHASeg(_TransSegBase):
         return x
 
 
-def _flat_gn_eff(y, g, scale, bias, eps=1e-5, stats=None):
+def _flat_gn_eff(y, g, scale, bias, eps=1e-5, stats=None, g_local=None,
+                 psum_axis=None):
     """Effective per-channel (scale, shift) of GroupNorm(1) on a flat
     tensor: ``normalize(y) == y * eff_scale + eff_shift``. Borders may be
     dirty: moment sums mask them inside the (fused) reductions and the
     static valid count makes the stats exact.
 
     ``stats``: optional kernel-emitted per-channel (2, C) moment sums
-    (``conv3_flat(emit_stats=True)``) — skips the stats read pass."""
+    (``conv3_flat(emit_stats=True)``) — skips the stats read pass.
+    Depth-sharded tensors (``parallel/flat_sharded.py``) pass the LOCAL
+    geometry as ``g_local`` (``g`` stays the global one, fixing the valid
+    count) and ``psum_axis`` to make the moment sums global."""
     c = y.shape[1]
     n_valid = g.d * g.h * g.w * c
+    gl = g if g_local is None else g_local
     if stats is not None:
         s = jnp.sum(stats[0].astype(jnp.float32))
         s2 = jnp.sum(stats[1].astype(jnp.float32))
     else:
-        mask = jnp.asarray(g.interior_mask(), jnp.float32)  # (1, Npl)
-        yin = y[1:g.d + 1].astype(jnp.float32) * mask[None]
+        mask = jnp.asarray(gl.interior_mask(), jnp.float32)  # (1, Npl)
+        yin = y[1:gl.d + 1].astype(jnp.float32) * mask[None]
         s = jnp.sum(yin)
         s2 = jnp.sum(jax.lax.square(yin))
+    if psum_axis is not None:
+        s = jax.lax.psum(s, psum_axis)
+        s2 = jax.lax.psum(s2, psum_axis)
     m = s / n_valid
     var = s2 / n_valid - m * m
     inv = jax.lax.rsqrt(var + eps)
@@ -823,10 +831,12 @@ def _flat_gn_eff(y, g, scale, bias, eps=1e-5, stats=None):
     return eff_scale, eff_shift
 
 
-def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None):
+def _flat_gn_act(y, g, scale, bias, activation, eps=1e-5, stats=None,
+                 g_local=None, psum_axis=None):
     """GroupNorm(1) + activation on a flat tensor (materialized). Output
     borders stay/become dirty — downstream flat consumers sanitize."""
-    eff_scale, eff_shift = _flat_gn_eff(y, g, scale, bias, eps, stats)
+    eff_scale, eff_shift = _flat_gn_eff(y, g, scale, bias, eps, stats,
+                                        g_local, psum_axis)
     out = y * eff_scale[None, :, None] + eff_shift[None, :, None]
     act = get_activation(activation)
     return act(out) if act is not None else out
@@ -885,13 +895,21 @@ def _lane_selection(g_src, g_dst, mapping, dtype):
     return (iota == idx[None, :]).astype(dtype)
 
 
-def _flat_crop(x, g_src, g_dst):
+def _flat_crop(x, g_src, g_dst, shard=None):
     """Center-crop a flat volume to a smaller geometry, exactly matching
-    ``spatial_padcrop``'s crop offsets (lo = d//2 per axis)."""
+    ``spatial_padcrop``'s crop offsets (lo = d//2 per axis). Depth-sharded
+    tensors (``shard``) can only need (H, W) crops — at sharded levels the
+    decode up-sample doubles an even depth exactly, so ``g_src.d ==
+    g_dst.d`` there (asserted)."""
     od = (g_src.d - g_dst.d) // 2
     oh = (g_src.h - g_dst.h) // 2
     ow = (g_src.w - g_dst.w) // 2
-    planes = x[1 + od:1 + od + g_dst.d]
+    if shard is not None:
+        assert od == 0 and g_src.d == g_dst.d, (
+            "sharded _flat_crop cannot crop depth")
+        planes = x[1:-1]
+    else:
+        planes = x[1 + od:1 + od + g_dst.d]
     planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
     if (g_src.h, g_src.w) == (g_dst.h, g_dst.w) and g_src.npl == g_dst.npl:
         return planes
@@ -899,11 +917,36 @@ def _flat_crop(x, g_src, g_dst):
     return jnp.einsum("dcn,nm->dcm", planes, sel, precision=_prec(x.dtype))
 
 
-def _flat_nearest_upsample(x, g_src, g_dst):
+def _flat_nearest_upsample(x, g_src, g_dst, src_shard=None, dst_shard=None):
     """Nearest-neighbor upsample in flat space (floor indexing, exactly
     ``resize_nearest``): D via an interior plane gather, (H, W) via a 0/1
-    lane-selection einsum. Destination borders come out clean."""
-    if g_src.d != g_dst.d:
+    lane-selection einsum. Destination borders come out clean.
+
+    Depth sharding: with ``dst_shard`` set the result is the destination
+    shard's local slab. A sharded source needs no communication — for
+    the V-Net's exact power-of-two depth ratios the floor map splits as
+    ``floor(j_global * r) = shard_offset_src + floor(j_local * r)``, so
+    the gather indices are shard-agnostic statics; a replicated source
+    is sliced with the shard's (traced) global offsets."""
+    if dst_shard is not None:
+        n = dst_shard.n
+        d_dst_loc = g_dst.d // n
+        if src_shard is not None:
+            d_src_loc = g_src.d // n
+            if g_src.d != g_dst.d:
+                idx = np.floor(np.arange(d_dst_loc)
+                               * (g_src.d / g_dst.d)).astype(np.int64)
+                planes = jnp.take(x[1:d_src_loc + 1], idx, axis=0)
+                x = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
+        else:
+            start = jax.lax.axis_index(dst_shard.axis) * d_dst_loc
+            j_glob = start + jnp.arange(d_dst_loc)
+            idx = jnp.minimum(
+                jnp.floor(j_glob * (g_src.d / g_dst.d)).astype(jnp.int32),
+                g_src.d - 1)
+            planes = jnp.take(x[1:g_src.d + 1], idx, axis=0)
+            x = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
+    elif g_src.d != g_dst.d:
         idx = np.minimum(np.floor(
             np.arange(g_dst.d) * (g_src.d / g_dst.d)).astype(np.int64),
             g_src.d - 1)
@@ -953,21 +996,35 @@ class _FlatConvNormAct(nn.Module):
                 or self.activation in ("elu", "selu", "relu", "none"))
 
     @nn.compact
-    def __call__(self, x, pending=None, defer=False, residual=None):
+    def __call__(self, x, pending=None, defer=False, residual=None,
+                 shard=None, shard_out=None, kperm=None):
         from ..kernels.conv3d_flat import conv3_flat
+        from ..ops.flatvol import flat_geom
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
         parts = x if isinstance(x, (tuple, list)) else (x,)
         cin = sum(t.shape[1] for t in parts)
         kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
                                    snn, name="conv")()
+        if kperm is not None and self.kernel_size == 3:
+            # permuted plane-major axis (sharded flat path): the DHWIO
+            # kernel's spatial axes follow the volume permutation
+            kernel = jnp.transpose(kernel, kperm)
         assert pending is None or (self.kernel_size == 3
                                    and len(parts) == 1)
         assert not defer or self._deferrable()
         assert residual is None or (self.kernel_size == 3
                                     and pending is None
                                     and self.g_half is None)
+        # shard: FlatShardCtx when the INPUT volume is depth-sharded
+        # (self.g stays the GLOBAL geometry; kernels run on the local
+        # one). shard_out: shard state AFTER the stride-2 decimation —
+        # None there means "gather and decimate replicated" (the next
+        # level is not shardable).
+        assert shard_out is None or (shard is not None
+                                     and self.g_half is not None)
         res_pack = None
+        kstats = None
         if self.kernel_size == 1:
             mat = kernel.reshape(cin, self.features)
             # virtual concat: per-part einsums, summed
@@ -978,15 +1035,23 @@ class _FlatConvNormAct(nn.Module):
             # follows (the decimated case must compute stats on the
             # decimated volume — reference semantics)
             want_stats = not self.use_snn and self.g_half is None
-            out = conv3_flat(x if len(parts) > 1 else parts[0],
+            if shard is not None:
+                xh = tuple(shard.halo(t) for t in parts)
+                xin = xh if len(xh) > 1 else xh[0]
+                g_k, halo, keep = (flat_geom(self.g.d // shard.n, self.g.h,
+                                             self.g.w), True, shard.keep())
+            else:
+                xin = x if len(parts) > 1 else parts[0]
+                g_k, halo, keep = self.g, False, None
+            out = conv3_flat(xin,
                              kernel.astype(parts[0].dtype),
-                             bias.astype(parts[0].dtype), self.g,
+                             bias.astype(parts[0].dtype), g_k,
                              prologue=(None if pending is None
                                        else pending[:2]),
                              prologue_act=(None if pending is None
                                            else pending[2]),
                              emit_stats=want_stats,
-                             residual=residual)
+                             residual=residual, halo=halo, halo_keep=keep)
             if residual is not None and want_stats:
                 y, r_raw, kstats, rstats = out
                 res_pack = (r_raw, rstats)
@@ -997,29 +1062,43 @@ class _FlatConvNormAct(nn.Module):
                 y, kstats = out
             else:
                 y = out
-        g_out = self.g
+        g_out, y_shard = self.g, shard
         if self.g_half is not None:
             gh = self.g_half
+            if shard is not None and shard_out is None:
+                # next level not shardable: gather the full-res conv
+                # output and decimate replicated
+                y = shard.gather_planes(y)
             # strided output i2 = full-res output at interior plane 2*i2,
             # i.e. flat plane 2*i2 + 1: leading-dim split (free) + a unit
-            # slice beat a strided major slice
-            planes = y[:2 * gh.d].reshape(gh.d, 2, y.shape[1],
-                                          y.shape[2])[:, 1]
+            # slice beat a strided major slice. Shard-local slicing is
+            # the SAME pattern (the schedule guarantees an even local
+            # plane count, so local interior parity == global parity).
+            gh_dec = gh if shard_out is None else flat_geom(
+                gh.d // shard_out.n, gh.h, gh.w)
+            planes = y[:2 * gh_dec.d].reshape(gh_dec.d, 2, y.shape[1],
+                                              y.shape[2])[:, 1]
             planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
             y = _lane_select(planes, self.g, gh, "decimate2")
-            g_out = gh
+            g_out, y_shard = gh, shard_out
         act_name = self.activation if isinstance(self.activation, str) \
             else None
+        gnkw = {}
+        if y_shard is not None:
+            gnkw = dict(g_local=flat_geom(g_out.d // y_shard.n, g_out.h,
+                                          g_out.w),
+                        psum_axis=y_shard.axis)
         if not self.use_snn:
             scale, gbias = _GNParams(self.features, name="norm")()
             stats = (kstats if (self.kernel_size != 1
                                 and self.g_half is None) else None)
             if defer:
-                eff = _flat_gn_eff(y, g_out, scale, gbias, stats=stats)
+                eff = _flat_gn_eff(y, g_out, scale, gbias, stats=stats,
+                                   **gnkw)
                 main = (y, (eff[0], eff[1], act_name))
             else:
                 main = _flat_gn_act(y, g_out, scale, gbias,
-                                    self.activation, stats=stats)
+                                    self.activation, stats=stats, **gnkw)
         elif defer:  # snn: no norm — defer the bare activation
             one = jnp.ones((self.features,), y.dtype)
             zero = jnp.zeros((self.features,), y.dtype)
@@ -1064,11 +1143,17 @@ class _FlatResidualTap(nn.Module):
         mat = kernel.reshape(self.cin, self.features)
         return mat.T, bias
 
-    def epilogue(self, r_raw, rstats):
+    def epilogue(self, r_raw, rstats, shard=None):
         if not self.use_snn:
+            from ..ops.flatvol import flat_geom
             scale, gbias = self._norm()
+            gnkw = {}
+            if shard is not None:
+                gnkw = dict(g_local=flat_geom(self.g.d // shard.n,
+                                              self.g.h, self.g.w),
+                            psum_axis=shard.axis)
             return _flat_gn_act(r_raw, self.g, scale, gbias,
-                                self.activation, stats=rstats)
+                                self.activation, stats=rstats, **gnkw)
         act = get_activation(self.activation)
         return act(r_raw) if act is not None else r_raw
 
@@ -1086,7 +1171,7 @@ class _FlatConvTransposeNormAct(nn.Module):
     activation: Union[str, Callable, None] = "elu"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shard=None, kperm=None):
         from ..kernels.conv3d_flat import conv3_flat
         from ..ops import initializers as inits
         snn = is_selu(self.activation)
@@ -1098,6 +1183,8 @@ class _FlatConvTransposeNormAct(nn.Module):
         # params under <name>/conv/{kernel,bias} like ConvTransposeNormAct
         kernel, bias = _ConvTParams(self.features, cin, w_init, snn,
                                     name="conv")()
+        if kperm is not None:
+            kernel = jnp.transpose(kernel, kperm)  # permuted major axis
 
         # lane-interleave on the HALF-depth volume (half the einsum). The
         # depth doubling then runs as ONE stride-1 conv on the HALF-depth
@@ -1107,7 +1194,16 @@ class _FlatConvTransposeNormAct(nn.Module):
         # (3,3,3,ci,2co) kernel with structural zeros. Half the grid
         # steps and ~10x less padded MXU work than convolving the
         # explicit zero-dilated volume.
+        #
+        # Depth sharding (``shard``): the conv runs on the SOURCE-plane
+        # grid, so one exchanged source halo plane per side is exactly
+        # the stencil's need; the reassembled 2x depth planes stay a
+        # contiguous local run (global planes 2J, 2J+1 of local source
+        # J), i.e. the doubled level's natural sharding.
         g, g2 = self.g, self.g2
+        from ..ops.flatvol import flat_geom
+        if shard is not None:
+            x = shard.halo(x)           # borders <- neighbor source planes
         up = _lane_select(x, g, g2, "interleave2")   # (Dp_src, C, Npl2)
         flipped = jnp.flip(kernel, axis=(0, 1, 2))
         co = self.features
@@ -1115,20 +1211,26 @@ class _FlatConvTransposeNormAct(nn.Module):
         k2x = k2x.at[1, :, :, :, :co].set(flipped[1])
         k2x = k2x.at[1, :, :, :, co:].set(flipped[0])
         k2x = k2x.at[2, :, :, :, co:].set(flipped[2])
-        from ..ops.flatvol import flat_geom
-        g_mid = flat_geom(g.d, g2.h, g2.w)
+        d_loc = g.d if shard is None else g.d // shard.n
+        g_mid = flat_geom(d_loc, g2.h, g2.w)
         bias2 = jnp.concatenate([bias, bias])
         y2 = conv3_flat(up, k2x.astype(x.dtype), bias2.astype(x.dtype),
-                        g_mid, emit_stats=not snn)    # (g.d+2, 2co, Npl2)
+                        g_mid, emit_stats=not snn,
+                        halo=shard is not None,
+                        halo_keep=None if shard is None else shard.keep())
         if not snn:
             y2, kstats = y2   # (2, 2co) sums == reassembled-volume sums
-        planes = y2[1:g.d + 1].reshape(g.d, 2, co, g2.npl)
-        y = jnp.pad(planes.reshape(2 * g.d, co, g2.npl),
+        planes = y2[1:d_loc + 1].reshape(d_loc, 2, co, g2.npl)
+        y = jnp.pad(planes.reshape(2 * d_loc, co, g2.npl),
                     ((1, 1), (0, 0), (0, 0)))
         if not snn:
             scale, gbias = _GNParams(self.features, name="norm")()
+            gnkw = {}
+            if shard is not None:
+                gnkw = dict(g_local=flat_geom(2 * d_loc, g2.h, g2.w),
+                            psum_axis=shard.axis)
             return _flat_gn_act(y, g2, scale, gbias, self.activation,
-                                stats=kstats)
+                                stats=kstats, **gnkw)
         act = get_activation(self.activation)
         return act(y) if act is not None else y
 
@@ -1146,7 +1248,8 @@ class _FlatDSHead(nn.Module):
     g_dst: object
 
     @nn.compact
-    def __call__(self, legs):
+    def __call__(self, legs, shard_dst=None):
+        from ..ops.flatvol import flat_geom
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
         kernel, bias = _ConvParams(self.features, self.fan_in, 1, snn,
@@ -1154,19 +1257,29 @@ class _FlatDSHead(nn.Module):
         mat = kernel.reshape(self.fan_in, self.features)
         y = None
         off = 0
-        for t, g_src in legs:
+        for leg in legs:
+            t, g_src = leg[0], leg[1]
+            src_shard = leg[2] if len(leg) > 2 else None
             c = t.shape[1]
             part = packed_high_dcn_mix(t, mat[off:off + c])
-            if g_src != self.g_dst:
-                part = _flat_nearest_upsample(part, g_src, self.g_dst)
+            if g_src != self.g_dst or (shard_dst is not None
+                                       and src_shard is None):
+                part = _flat_nearest_upsample(part, g_src, self.g_dst,
+                                              src_shard=src_shard,
+                                              dst_shard=shard_dst)
             y = part if y is None else y + part
             off += c
         assert off == self.fan_in
         y = y + bias.astype(y.dtype)[None, :, None]
+        gnkw = {}
+        if shard_dst is not None:
+            gnkw = dict(g_local=flat_geom(self.g_dst.d // shard_dst.n,
+                                          self.g_dst.h, self.g_dst.w),
+                        psum_axis=shard_dst.axis)
         if not self.use_snn:
             scale, gbias = _GNParams(self.features, name="norm")()
             return _flat_gn_act(y, self.g_dst, scale, gbias,
-                                self.activation)
+                                self.activation, **gnkw)
         act = get_activation(self.activation)
         return act(y) if act is not None else y
 
@@ -1206,12 +1319,17 @@ class _VNetConvIn(nn.Module):
     emit_flat: bool = False
 
     @nn.compact
-    def __call__(self, x_cf):
+    def __call__(self, x_cf, kperm=None):
         from ..kernels.conv_in import conv_in_s2d
         from .hnosegxs import _ConvParams
         snn = self.use_snn and is_selu(self.activation)
         kernel, bias = _ConvParams(self.features, self.in_features, 2,
                                    snn, name="conv")()
+        if kperm is not None:
+            # sharded flat path with a permuted plane-major axis: the
+            # input volume is permuted once, the (2,2,2,C,F) kernel's
+            # spatial axes follow (parallel/flat_sharded.FlatShardCtx)
+            kernel = jnp.transpose(kernel, kperm)
         if self.emit_flat:
             from ..ops.flatvol import flat_geom
             y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
@@ -1265,6 +1383,12 @@ class VNetDS(nn.Module):
     channel_first_io: bool = True
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    # depth-axis spatial sharding of the flat path: (mesh_axis_name, n).
+    # Set by runtime/run.py under [parallel] n_spatial > 1 (when
+    # flat_vnet_shardable says the shapes support it); the model must
+    # then be applied INSIDE parallel/flat_sharded.make_flat_sharded_apply
+    # — x is the shard's local depth slab there.
+    spatial_shard: Optional[Tuple[str, int]] = None
 
     def _use_conv_in_kernel(self, x_cf):
         """Fused conv_in kernel: 3D, batch 1, channel-first input, on a
@@ -1287,6 +1411,25 @@ class VNetDS(nn.Module):
     def _flat_forward(self, x, in_dtype):
         from ..ops.flatvol import flat_geom, from_flat, to_flat
 
+        # optional spatial sharding: inside a shard_map
+        # (parallel/flat_sharded.py) x arrives REPLICATED (the entry
+        # conv's padding-1 windows straddle any split and the raw
+        # in_channels volume is the network's smallest tensor); the
+        # entry runs replicated, then each device slices its local plane
+        # slab. Geometries stay GLOBAL; the static per-level schedule
+        # decides which levels run sharded (halo'd kernels + psum'd
+        # GroupNorm) vs replicated (deep levels whose plane counts stop
+        # dividing). ``ctx.dim`` picks which image axis is plane-major
+        # (the k=3 stencil is isotropic; kernels permute along).
+        ctx = kperm = None
+        if self.spatial_shard is not None:
+            from ..parallel.flat_sharded import FlatShardCtx, shard_schedule
+            ctx = FlatShardCtx(*self.spatial_shard)
+            if ctx.dim:
+                x = jnp.transpose(x, (0, 1) + tuple(2 + k
+                                                    for k in ctx.sperm))
+                kperm = ctx.kperm
+
         right_leg_indexes = self.right_leg_indexes
         if right_leg_indexes is None:
             right_leg_indexes = [0]
@@ -1297,21 +1440,38 @@ class VNetDS(nn.Module):
         if self.use_resize:
             x, g = _VNetConvIn(base, x.shape[1], self.activation,
                                self.use_snn, emit_flat=True,
-                               name="conv_in")(x)
+                               name="conv_in")(x, kperm=kperm)
         else:
             g = flat_geom(*x.shape[2:])
             x = to_flat(x[0], g)
 
+        num_sections = len(self.num_blocks)
+        if ctx is not None:
+            scheds = shard_schedule(g.d, num_sections, ctx.n)
+            if not scheds[0]:
+                raise ValueError(
+                    f"spatial_shard: entry depth {g.d} is not shardable "
+                    f"over {ctx.n} devices (see flat_vnet_shardable)")
+            if any(int(b) < 1 for b in self.num_blocks):
+                raise ValueError("spatial_shard requires every section "
+                                 "to have >= 1 conv block")
+            lvl = [ctx if s else None for s in scheds]
+            x = ctx.local_slab(x, g.d // ctx.n)  # replicated -> local
+        else:
+            lvl = [None] * num_sections
+
         def conv(features, name, geom, kernel_size=3, g_half=None):
-            return _FlatConvNormAct(features, geom, kernel_size=kernel_size,
-                                    activation=self.activation,
-                                    use_snn=self.use_snn, g_half=g_half,
-                                    name=name)
+            return functools.partial(
+                _FlatConvNormAct(features, geom, kernel_size=kernel_size,
+                                 activation=self.activation,
+                                 use_snn=self.use_snn, g_half=g_half,
+                                 name=name), kperm=kperm)
 
         act_ok = (self.activation is None
                   or self.activation in ("elu", "selu", "relu", "none"))
 
-        def conv_chain(x0, filters, names, geom, res_name=None):
+        def conv_chain(x0, filters, names, geom, res_name=None,
+                       shard=None):
             """k=3 conv chain with deferred norm+act between links: each
             non-final conv hands its (eff_scale, eff_shift, act) to the
             next kernel's prologue — no intermediate elementwise pass.
@@ -1335,6 +1495,7 @@ class VNetDS(nn.Module):
                 # tap as a precision-correct XLA mix (GN masks the dirty
                 # borders via stats=None)
                 from ..ops.spectral import flat_concat_mix
+                assert shard is None  # gated in the schedule check above
                 if isinstance(xc, (tuple, list)):
                     xc = jnp.concatenate(xc, axis=1)
                 if tap is None:
@@ -1347,17 +1508,17 @@ class VNetDS(nn.Module):
                 d = act_ok and idx != len(names) - 1
                 if idx == 0 and tap is not None:
                     out, res_pack = conv(filters, name, geom)(
-                        xc, pending=pend, defer=d, residual=tap.weights())
-                    res_out = tap.epilogue(*res_pack)
+                        xc, pending=pend, defer=d, residual=tap.weights(),
+                        shard=shard)
+                    res_out = tap.epilogue(*res_pack, shard=shard)
                 else:
                     out = conv(filters, name, geom)(xc, pending=pend,
-                                                    defer=d)
+                                                    defer=d, shard=shard)
                 xc, pend = out if d else (out, None)
             return (xc, res_out) if res_name is not None else xc
 
-        num_sections = len(self.num_blocks)
         encode_tensors, encode_geoms = {}, {}
-        right_leg, right_leg_ref, leg_geoms = [], {}, {}
+        right_leg, right_leg_ref, leg_geoms, leg_shards = [], {}, {}, {}
 
         for i in range(num_sections):
             filters = base * (2 ** i)
@@ -1365,32 +1526,42 @@ class VNetDS(nn.Module):
                      for j in range(self.num_blocks[i])]
             if self.use_residual:
                 x, r = conv_chain(x, filters, names, g,
-                                  res_name=f"encode_{i}_residual")
+                                  res_name=f"encode_{i}_residual",
+                                  shard=lvl[i])
                 x = x + r
             else:
-                x = conv_chain(x, filters, names, g)
+                x = conv_chain(x, filters, names, g, shard=lvl[i])
             if i != num_sections - 1:
                 encode_tensors[i], encode_geoms[i] = x, g
                 g_half = flat_geom((g.d - 1) // 2 + 1, (g.h - 1) // 2 + 1,
                                    (g.w - 1) // 2 + 1)
-                x = conv(filters, f"encode_{i}_down", g, g_half=g_half)(x)
+                x = conv(filters, f"encode_{i}_down", g, g_half=g_half)(
+                    x, shard=lvl[i], shard_out=lvl[i + 1])
                 g = g_half
             elif i in right_leg_indexes:
                 right_leg.append((i, x))
                 right_leg_ref[i] = x
                 leg_geoms[i] = g
+                leg_shards[i] = lvl[i]
 
         for i in reversed(range(num_sections - 1)):
             filters = base * (2 ** i)
             g2 = flat_geom(2 * g.d, 2 * g.h, 2 * g.w)
             x = _FlatConvTransposeNormAct(filters, g, g2,
                                           activation=self.activation,
-                                          name=f"decode_{i}_up")(x)
+                                          name=f"decode_{i}_up")(
+                x, shard=lvl[i + 1], kperm=kperm)
             g = g2
+            up_shard = lvl[i + 1]  # sharded up-conv yields a sharded 2x
             ge = encode_geoms[i]
             if (g.d, g.h, g.w) != (ge.d, ge.h, ge.w):
-                x = _flat_crop(x, g, ge)
+                x = _flat_crop(x, g, ge, shard=up_shard)
                 g = ge
+            if lvl[i] is not None and up_shard is None:
+                # back to a sharded level from a replicated one: every
+                # device already holds the full tensor — local slab, no
+                # communication
+                x = lvl[i].local_slab(x, g.d // lvl[i].n)
             # virtual concat: the first conv and the fused residual 1x1
             # read (up, skip) directly — the concatenated tensor never
             # exists, and the residual tap rides the first conv's kernel
@@ -1399,14 +1570,16 @@ class VNetDS(nn.Module):
                      for j in range(self.num_blocks[i])]
             if self.use_residual:
                 x, r = conv_chain(pair, filters, names, g,
-                                  res_name=f"decode_{i}_residual")
+                                  res_name=f"decode_{i}_residual",
+                                  shard=lvl[i])
                 x = x + r
             else:
-                x = conv_chain(pair, filters, names, g)
+                x = conv_chain(pair, filters, names, g, shard=lvl[i])
             if i in right_leg_indexes:
                 right_leg.append((i, x))
                 right_leg_ref[i] = x
                 leg_geoms[i] = g
+                leg_shards[i] = lvl[i]
 
         if len(right_leg) == 1:
             x = right_leg_ref[0]
@@ -1416,7 +1589,8 @@ class VNetDS(nn.Module):
             fan_in = sum(t.shape[1] for _, t in right_leg)
             x = _FlatDSHead(self.out_channels, fan_in, self.activation,
                             self.use_snn, g0, name="conv_ds")(
-                [(t, leg_geoms[idx]) for idx, t in right_leg])
+                [(t, leg_geoms[idx], leg_shards[idx])
+                 for idx, t in right_leg], shard_dst=lvl[0])
 
         from .hnosegxs import _Conv1x1Weight
         snn = self.use_snn and is_selu(self.activation)
@@ -1425,10 +1599,19 @@ class VNetDS(nn.Module):
         mat = kern.reshape(x.shape[1], self.out_channels)
         x = packed_high_dcn_mix(x, mat)
 
+        if lvl[0] is not None:
+            # the tail volume is down to out_channels — gather it and run
+            # the resize/padcrop/softmax replicated (the D resize matmul
+            # contracts the global depth axis)
+            x = lvl[0].gather_planes(x)
+
         x = from_flat(x, g0)[None]                 # (1, out, D2, H2, W2)
         if self.use_resize:
             x = resize_linear(x, image_size, channel_first=True)
         x = spatial_padcrop(x, image_size, channel_first=True)
+        if ctx is not None and ctx.dim:
+            x = jnp.transpose(x, (0, 1) + tuple(2 + k
+                                                for k in ctx.sperm_inv))
         x = x.astype(in_dtype)
         return _apply_output_activation(x, self.output_activation, axis=1)
 
@@ -1436,6 +1619,15 @@ class VNetDS(nn.Module):
     def __call__(self, x):
         assert self.ndim in (4, 5)
         assert isinstance(self.num_blocks, (list, tuple))
+        if self.spatial_shard is not None:
+            # explicit opt-in (run.py routes it only under a spatial
+            # mesh): the flat path is mandatory here — the module path
+            # cannot see a local depth slab as a whole volume
+            assert (self.ndim == 5 and self.kernel_size == 3
+                    and self.channel_first_io and x.shape[0] == 1), (
+                "spatial_shard requires the flat path's constraints: "
+                "3D, k=3, channel-first, batch 1")
+            return self._flat_forward(x, x.dtype)
         if self._use_flat(x):
             return self._flat_forward(x, x.dtype)
         conv_in_kernel = self._use_conv_in_kernel(x)

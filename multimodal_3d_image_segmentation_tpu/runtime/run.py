@@ -144,24 +144,39 @@ def run(config_args):
         # The Pallas kernel paths have no SPMD partitioning rules. Under a
         # data-only mesh they compose via a shard_map wrapper (the train
         # engine wraps model.apply; each device traces its per-device
-        # batch). Under spatial sharding the flat conv kernel DOES
-        # compose at the op level (parallel/halo.py: depth-sharded
-        # shard_map + one-plane ppermute halo exchange + psum'd GN
-        # moments), but the whole-model flat forward (stride changes,
-        # resizes, layout entry/tail) is not yet expressed shard_map-
-        # wise — drop the flags loudly and run the (sharding-
-        # transparent) XLA module path.
+        # batch). Under spatial sharding, VNetDS's whole-model flat path
+        # composes via the depth-sharded shard_map wrapper
+        # (parallel/flat_sharded.py: halo'd kernels, psum'd GroupNorm,
+        # static per-level schedule) whenever the image size supports it
+        # — the engines route it (training:196, testing:468). Every
+        # other kernel-flagged combination drops the flags loudly and
+        # runs the (sharding-transparent) XLA module path.
         if par.get("n_spatial", 1) > 1:
-            for flag in ("use_pallas", "use_flat"):
-                if config_args.get("model", {}).pop(flag, None):
-                    print(f"Warning: [model] {flag} is disabled under "
-                          "[parallel] spatial sharding (the whole-model "
-                          "kernel paths are single-device; the XLA "
-                          "module path shards transparently; the op-"
-                          "level kernel composition lives in "
-                          "parallel/halo.py). Data-only meshes "
-                          "(n_spatial=1) compose with the kernels via "
-                          "shard_map.")
+            model_cfg = config_args.get("model", {})
+            flat_ok = False
+            if (model_cfg.get("model_name") == "VNetDS"
+                    and input_data is not None
+                    and input_args.get("batch_size", 1) == 1):
+                from ..parallel.flat_sharded import flat_vnet_shardable
+                image_size = (input_data.get_train_image_size()
+                              if config_args["main"]["is_train"]
+                              else input_data.get_test_image_size())
+                flat_ok = (len(image_size) == 3
+                           and model_cfg.get("kernel_size", 3) == 3
+                           and flat_vnet_shardable(
+                               image_size, model_cfg["num_blocks"],
+                               model_cfg.get("use_resize", True),
+                               par["n_spatial"]) is not None)
+            if not flat_ok:
+                for flag in ("use_pallas", "use_flat"):
+                    if model_cfg.pop(flag, None):
+                        print(f"Warning: [model] {flag} is disabled "
+                              "under [parallel] spatial sharding (this "
+                              "model/shape combination has no depth-"
+                              "sharded kernel path; the XLA module path "
+                              "shards transparently). VNetDS with a "
+                              "shardable image size keeps the flags — "
+                              "see parallel/flat_sharded.py.")
 
     # Train or read model
     model = None

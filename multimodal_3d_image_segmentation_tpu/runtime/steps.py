@@ -133,13 +133,16 @@ def make_eval_step(loss_fn: Callable, num_labels: int,
     return jax.jit(step)
 
 
-def make_predict_step(model):
+def make_predict_step(model, apply_fn=None):
     """Forward + argmax to uint8 labels (reference
     ``experiments/train_test.py:395-410``): argmax happens on device so only
-    the small label volume crosses back to host."""
+    the small label volume crosses back to host. ``apply_fn`` overrides
+    ``model.apply`` (e.g. the depth-sharded flat wrapper,
+    ``parallel/flat_sharded.make_flat_sharded_apply``)."""
+    apply = apply_fn or model.apply
 
     def step(params, x):
-        y_pred = model.apply({"params": params}, x)
+        y_pred = apply({"params": params}, x)
         return jnp.argmax(y_pred, axis=1).astype(jnp.uint8)
 
     return jax.jit(step)

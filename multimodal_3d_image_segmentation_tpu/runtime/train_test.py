@@ -193,14 +193,28 @@ def training(model, input_data, output_dir, loss_fn, tx,
 
     # Pallas kernel paths have no SPMD partitioning rules; under a
     # data-only mesh they compose via a shard_map wrapper (each device
-    # traces its per-device batch). Spatial meshes use the XLA module
-    # path (run.py drops the flags loudly there).
+    # traces its per-device batch). Spatial meshes: VNetDS's flat path
+    # composes whole-model via the depth-sharded shard_map
+    # (parallel/flat_sharded.py — halo'd kernels + psum'd GroupNorm);
+    # other kernel models use the XLA module path (run.py drops the
+    # flags loudly there).
     apply_fn = None
     from ..parallel.mesh import SPATIAL_AXIS
-    if (mesh is not None and mesh.shape.get(SPATIAL_AXIS, 1) == 1
-            and (getattr(model, "use_pallas", False)
-                 or getattr(model, "use_flat", False))):
-        apply_fn = make_sharded_apply(model, mesh)
+    if (mesh is not None and (getattr(model, "use_pallas", False)
+                              or getattr(model, "use_flat", False))):
+        if mesh.shape.get(SPATIAL_AXIS, 1) == 1:
+            apply_fn = make_sharded_apply(model, mesh)
+        else:
+            from ..parallel.flat_sharded import maybe_flat_sharded_apply
+            apply_fn = maybe_flat_sharded_apply(
+                model, mesh, image_size, input_data.batch_size)
+            if apply_fn is None:
+                # shapes don't support the depth-sharded flat path: the
+                # XLA module path shards transparently (params are
+                # identical across paths, so the clone is free)
+                flags = {f: False for f in ("use_pallas", "use_flat")
+                         if getattr(model, f, False)}
+                apply_fn = model.clone(**flags).apply
     state = create_train_state(model, params, tx, apply_fn=apply_fn)
 
     if mesh is not None:
@@ -457,14 +471,20 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
         print("Testing started")
         print(output_dir)
 
-    predict_step = make_predict_step(model)
-    # Pallas kernel paths are single-device: volume-sharded inference
-    # would hit the partitioner, so under a mesh the kernels' models run
-    # testing on one device (training composed via shard_map instead).
+    # Pallas kernel paths have no SPMD partitioning rules: under a mesh,
+    # VNetDS's flat path serves depth-sharded through the whole-model
+    # shard_map wrapper (parallel/flat_sharded.py); other kernel models
+    # fall back to one device (training composed via shard_map instead).
     _kernel_model = (getattr(model, "use_pallas", False)
                      or getattr(model, "use_flat", False))
+    _flat_sharded = None
     if mesh is not None and _kernel_model:
-        mesh = None
+        from ..parallel.flat_sharded import maybe_flat_sharded_apply
+        _flat_sharded = maybe_flat_sharded_apply(
+            model, mesh, input_data.get_test_image_size())
+        if _flat_sharded is None:
+            mesh = None
+    predict_step = make_predict_step(model, apply_fn=_flat_sharded)
     if mesh is not None:
         params = jax.device_put(params, replicated(mesh))
 
@@ -482,8 +502,13 @@ def testing(model, params, input_data, output_dir, label_mapping=None,
             x = xy
         x = jnp.asarray(x, jnp.float32)
         if mesh is not None:
-            from ..parallel.mesh import volume_sharding
-            x = jax.device_put(x, volume_sharding(mesh, x.shape))
+            if _flat_sharded is not None:
+                # the wrapper's shard_map takes the volume replicated
+                # (each device slices its depth slab after the entry)
+                x = jax.device_put(x, replicated(mesh))
+            else:
+                from ..parallel.mesh import volume_sharding
+                x = jax.device_put(x, volume_sharding(mesh, x.shape))
 
         y_pred = np.asarray(predict_step(params, x))  # readback = completion
         e_time = time.time()

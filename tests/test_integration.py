@@ -601,3 +601,47 @@ def test_cli_entrypoints_as_subprocesses(tmp_path):
         cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert proc2.returncode == 0, proc2.stdout + proc2.stderr
     assert os.path.isfile(str(tmp_path / "splits/m0_train-0.6.txt"))
+
+
+@pytest.mark.slow
+def test_pipeline_vnet_flat_spatial_sharded(tmp_path):
+    """VNetDS + use_pallas under [parallel] n_spatial=2: the flags are
+    KEPT (the depth-sharded whole-model flat path routes through
+    parallel/flat_sharded.py) and train+test run end to end. Depth 14
+    makes the post-conv_in flat depth 8 — shardable over 2 devices at
+    both levels; cf. the HNOSegXS mesh test above where the flags drop."""
+    data_root = tmp_path / "data"
+    os.makedirs(data_root)
+    lists = _make_dataset(data_root, n=4, shape=(14, 16, 12))
+    train = _write_lists(tmp_path, {k: v[:2] for k, v in lists.items()},
+                         "tr")
+    valid = _write_lists(tmp_path, {k: v[2:3] for k, v in lists.items()},
+                         "va")
+    test = _write_lists(tmp_path, {k: v[3:] for k, v in lists.items()},
+                        "te")
+    out = str(tmp_path / "exp_flat_sharded")
+
+    extra = """
+[parallel]
+n_data = 1
+n_spatial = 2
+"""
+    cfg = _config(tmp_path, out, train, valid, test, num_epochs=1,
+                  is_statistics=False, extra=extra)
+    raw = cfg["config"].getvalue()
+    import re as _re
+    raw = _re.sub(r"\[model\][^\[]*", """[model]
+model_name = 'VNetDS'
+out_channels = 3
+base_num_filters = 4
+num_blocks = [1, 1]
+right_leg_indexes = [0, 1]
+use_pallas = True
+
+""", raw)
+    from io import StringIO as _S
+    cfg2 = get_config(_S(raw), source=str(tmp_path / "c.ini"))
+    run(cfg2)
+    assert cfg2["model"]["use_pallas"] is True  # NOT dropped
+    pred = read_image(os.path.join(out, "test/images/case3_pred.nii.gz"))
+    assert pred.array.shape == (14, 16, 12)

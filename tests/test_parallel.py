@@ -320,3 +320,108 @@ class TestHaloShardedConv:
         mesh = make_mesh(n_data=2, n_spatial=4)
         with pytest.raises(ValueError, match="do not divide"):
             conv3_flat_sharded(xf, k, b, g, mesh)
+
+
+class TestFlatShardedVNet:
+    """Whole-model depth-sharded flat V-Net (parallel/flat_sharded.py):
+    the model-level kernel∘spatial-sharding composition must match the
+    single-device flat forward AND its gradients. The single-device
+    reference forces the flat path (the TPU-only `_use_flat` gate is
+    bypassed — on the CPU mesh both sides run the same interpret-mode
+    kernels, so parity is tight)."""
+
+    @staticmethod
+    def _force_flat(monkeypatch):
+        from multimodal_3d_image_segmentation_tpu.models import (
+            architectures)
+        monkeypatch.setattr(
+            architectures.VNetDS, "_use_flat",
+            lambda self, x_cf: (self.use_pallas and self.ndim == 5
+                                and self.channel_first_io
+                                and x_cf.shape[0] == 1))
+
+    def _setup(self, shape, **kw):
+        kw.setdefault("in_channels", 2)
+        kw.setdefault("out_channels", 3)
+        kw.setdefault("base_num_filters", 4)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 2) + shape).astype(np.float32))
+        model = models.VNetDS(**kw, use_pallas=True)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x))
+        return model, params, x
+
+    @pytest.mark.parametrize("shape,n,dim,kw", [
+        # both levels sharded, residual taps + DS legs
+        ((14, 12, 12), 2, 0, dict(num_blocks=[1, 2],
+                                  right_leg_indexes=[0, 1])),
+        # deep level replicated (10 -> d0=6: 6%2==0 but local decim odd)
+        ((10, 12, 12), 2, 0, dict(num_blocks=[1, 1],
+                                  right_leg_indexes=[0, 1])),
+        # permuted plane-major axis + 4-way shard
+        ((13, 12, 14), 2, 2, dict(num_blocks=[1, 1],
+                                  right_leg_indexes=[0, 1])),
+        ((30, 12, 12), 4, 0, dict(num_blocks=[1, 1],
+                                  right_leg_indexes=[0])),
+        # snn/selu: no GroupNorm, deferred bare activations
+        ((14, 12, 12), 2, 0, dict(num_blocks=[1, 1], use_snn=True,
+                                  activation="selu",
+                                  right_leg_indexes=[0, 1])),
+    ])
+    def test_forward_matches_single_device(self, monkeypatch, shape, n,
+                                           dim, kw):
+        from multimodal_3d_image_segmentation_tpu.parallel.flat_sharded \
+            import make_flat_sharded_apply
+        self._force_flat(monkeypatch)
+        model, params, x = self._setup(shape, **kw)
+        want = np.asarray(model.apply(params, x))
+        mesh = make_mesh(n_data=1, n_spatial=n)
+        apply_fn = make_flat_sharded_apply(model, mesh, dim=dim)
+        got = np.asarray(jax.jit(apply_fn)(params, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_gradients_match_single_device(self, monkeypatch):
+        from multimodal_3d_image_segmentation_tpu.parallel.flat_sharded \
+            import make_flat_sharded_apply
+        self._force_flat(monkeypatch)
+        model, params, x = self._setup((14, 12, 12), num_blocks=[1, 1],
+                                       right_leg_indexes=[0, 1])
+        tgt = jnp.asarray(np.random.default_rng(1).standard_normal(
+            model.apply(params, x).shape).astype(np.float32))
+        mesh = make_mesh(n_data=1, n_spatial=2)
+        apply_fn = make_flat_sharded_apply(model, mesh, dim=0)
+
+        def loss(apply, p):
+            return jnp.sum((apply(p, x) - tgt) ** 2)
+
+        want_l, want_g = jax.value_and_grad(
+            lambda p: loss(model.apply, p))(params)
+        got_l, got_g = jax.jit(jax.value_and_grad(
+            lambda p: loss(apply_fn, p)))(params)
+        np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+        # psum'd GroupNorm moments reassociate float sums: per-element
+        # grads can drift a few ulp relative to the serial reduction
+        for a, c in zip(jax.tree_util.tree_leaves(want_g),
+                        jax.tree_util.tree_leaves(got_g)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=2e-3, atol=1e-4)
+
+    def test_shardable_gate(self):
+        from multimodal_3d_image_segmentation_tpu.parallel.flat_sharded \
+            import flat_vnet_shardable, maybe_flat_sharded_apply
+        # use_resize halves depth to d//2+1: 14 -> 8 (shardable over 2)
+        assert flat_vnet_shardable((14, 12, 12), [1, 1], True, 2) == 0
+        # 16 -> 9 (odd) on every axis: not shardable
+        assert flat_vnet_shardable((16, 16, 16), [1, 1], True, 2) is None
+        # picks the axis that shards the most levels
+        assert flat_vnet_shardable((13, 12, 14), [1, 1], True, 2) == 2
+        mesh = make_mesh(n_data=1, n_spatial=2)
+        vnet = models.VNetDS(2, 3, 4, [1, 1])
+        # no use_pallas -> module path shards transparently, no wrapper
+        assert maybe_flat_sharded_apply(vnet, mesh, (14, 12, 12)) is None
+        assert maybe_flat_sharded_apply(
+            vnet.clone(use_pallas=True), mesh, (14, 12, 12)) is not None
+        assert maybe_flat_sharded_apply(  # non-shardable image size
+            vnet.clone(use_pallas=True), mesh, (16, 16, 16)) is None
+        # other kernel models never route here
+        hno = models.HNOSegXS(2, 3, 8, [2, 2], (3, 4, 4))
+        assert maybe_flat_sharded_apply(hno, mesh, (14, 12, 12)) is None
