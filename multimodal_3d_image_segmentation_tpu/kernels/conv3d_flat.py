@@ -77,6 +77,18 @@ def _dot_f32(a, b, precision):
         return lax.dot_general(a.astype(jnp.bfloat16),
                                b.astype(jnp.bfloat16), dims,
                                preferred_element_type=jnp.float32)
+    if precision == "mixed":
+        # bf16 activations + fp32-class WEIGHTS ('mixed' serving,
+        # ops/spectral.set_bf16_exact): the weight (lhs) is hi/lo split
+        # (2 MXU passes), the bf16-storage activation rounds once —
+        # weight rounding eliminated at bf16 traffic. MXU passes are not
+        # the bottleneck here (the kernel is DMA-bound).
+        ahi, alo = _split_bf16(a.astype(jnp.float32))
+        b16 = b.astype(jnp.bfloat16)
+        return (lax.dot_general(ahi, b16, dims,
+                                preferred_element_type=jnp.float32)
+                + lax.dot_general(alo, b16, dims,
+                                  preferred_element_type=jnp.float32))
     if precision == "bf16x3":
         ahi, alo = _split_bf16(a)
         bhi, blo = _split_bf16(b)
@@ -525,14 +537,16 @@ def conv3_flat(x_flat, kernel: jax.Array, bias: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if x_flat.dtype == jnp.bfloat16 and precision == "bf16x3":
-        precision = "native"
+        from ..ops.spectral import BF16_EXACT
+        precision = "mixed" if BF16_EXACT else "native"
     if residual is not None:
         if prologue is not None or dilated_depth is not None:
             # the VJP reference taps the PRE-prologue input; a prologue
             # here would silently desync forward and gradient
             raise ValueError("conv3_flat(residual=...) requires "
                              "prologue=None and dilated_depth=None")
-        res_kernel = residual[0].astype(x_flat.dtype)
+        from ..ops.spectral import _isl
+        res_kernel = residual[0].astype(_isl(x_flat.dtype))
         res_bias = residual[1]
     else:
         res_kernel = res_bias = None

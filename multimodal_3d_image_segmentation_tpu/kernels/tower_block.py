@@ -14,8 +14,12 @@ planes of a flat ``(D, C, W*HL)`` volume (H on the lane axis, padded to a
 multiple of 128):
 
   per plane d:
-    y1   = inverse 2D stage  (W-expand 'mid' dot, minor-2 transpose,
-                              H-expand final dot)            [from z]
+    y1   = inverse 2D stage  (W-expand 'mid' dot, then a TURN-FREE
+                              H-expand: one batched dot_general that
+                              contracts KH as the sublane dim against a
+                              per-(component, channel) replicated matrix
+                              stack — no transpose; see _mrep_mat)
+                                                             [from z]
     p,q  = one packed dot      [W_conv ; W_cc_x] @ x
     t    = selu(y1 + p)
     out  = selu(W_cc_t @ t + q + b_cc)                       -> HBM
@@ -217,6 +221,30 @@ def _pack_weight(w, dtype):
     return w.astype(jnp.bfloat16)
 
 
+@functools.lru_cache(maxsize=32)
+def _mrep_mat(spec: TowerSpec, packed: bool):
+    """Per-(component, channel) replicated H-expand matrix stack for the
+    turn-free inverse: ``[A]*C + [B]*C`` along a leading batch axis
+    ((2C, KH, HL); packed [hi; lo; hi] along KH when ``packed``).
+
+    The batched dot_general against this stack contracts KH as the
+    SUBLANE dim of the combined (2, C, KH, W) inverse intermediate —
+    the corner turn (swapaxes KH<->W) it replaces cost ~0.8/0.46
+    ms/block (Fourier/Hartley flagship grid; round-5 attribution,
+    tools/proto_tower_v6.py: v2 2.88/2.74 -> turn-free 2.14/2.20).
+    VMEM cost: 48 x 84 x 128 bf16 ~ 1.0 MB."""
+    m = _spec_mats(spec)
+    a, b = m["mh_inv"]
+    if packed:
+        a, b = _pack_matrix_np(a), _pack_matrix_np(b)
+    else:
+        a = np.asarray(np.asarray(a, np.float32), jnp.bfloat16)
+        b = np.asarray(np.asarray(b, np.float32), jnp.bfloat16)
+    c = spec.channels
+    return np.concatenate([np.broadcast_to(a, (c,) + a.shape),
+                           np.broadcast_to(b, (c,) + b.shape)]).copy()
+
+
 def _kdot(a, b):
     """MXU dot with fp32 accumulation (operands pre-packed/bf16)."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -234,7 +262,7 @@ def _maybe_pack(x, axis, packed):
 # ---------------------------------------------------------------------------
 
 def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
-                  mwi_cs, mhi_a, mhi_b, mhf_hi, mhf_lo, mwf_cs,
+                  mwi_cs, mhf_hi, mhf_lo, mwf_cs, mrep,
                   *rest, spec: TowerSpec, packed: bool, p_planes: int):
     # rest = [dsp_ref if n_ds] out_ref f_ref [ds_ref if n_ds]
     rest = list(rest)
@@ -247,16 +275,21 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
     npl = w * hl
 
     def _plane(p, carry):  # fori_loop body: ONE copy of the kernel IR
-        # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C*W, HL).
-        # One N-stacked dot against [Cwi | Swi], complex combine after.
+        # ---- inverse 2D: z (2, C, KH, KW) -> y1 (C, NPL).
+        # One N-stacked dot against [Cwi | Swi], complex combine, then the
+        # TURN-FREE H-expand: one batched dot_general contracting KH as
+        # the SUBLANE dim against the [A]*C+[B]*C stack (see _mrep_mat) —
+        # no swapaxes relayout anywhere in the inverse.
         z = z_ref[p].reshape(2 * c * kh, kwl)
         ab = _kdot(_maybe_pack(z, 1, packed), mwi_cs[...])  # (2CKH, 2W)
         a = ab[:, :w].reshape(2, c, kh, w)
         b = ab[:, w:].reshape(2, c, kh, w)
         y = jnp.stack([a[0] - b[1], b[0] + a[1]])          # (2, C, KH, W)
-        y = jnp.swapaxes(y, 2, 3).reshape(2, c * w, kh)
-        y1 = (_kdot(_maybe_pack(y[0], 1, packed), mhi_a[...])
-              + _kdot(_maybe_pack(y[1], 1, packed), mhi_b[...]))
+        y2 = _maybe_pack(y.reshape(2 * c, kh, w), 1, packed)
+        yy = jax.lax.dot_general(
+            y2, mrep[...], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (2C, W, HL)
+        y1 = (yy[:c] + yy[c:]).reshape(c, npl)
 
         # ---- tail: p/q one packed dot on x; out = selu(...)
         x = x_ref[p]                                 # (C, NPL)
@@ -272,7 +305,7 @@ def _tower_kernel(x_ref, z_ref, wp1_ref, wp2_ref, bias_ref,
                          + pq[2 * c:]).astype(ds_ref.dtype)
             pq = pq[:2 * c]
         pq = pq + bias_ref[...]
-        t = _selu(y1.reshape(c, npl) + pq[:c])
+        t = _selu(y1 + pq[:c])
         tp = _maybe_pack(t, 0, packed)
         o = _selu(_kdot(wp2_ref[...], tp) + pq[c:])
         out_ref[p] = o.astype(out_ref.dtype)
@@ -329,7 +362,10 @@ def _run_tower_kernel(x_flat, z, wp1, wp2, bias, spec: TowerSpec,
     p = _pick_p(d)
     assert (ds_prev is not None) == bool(spec.n_ds)
 
-    mat_args = list(_kernel_mats(spec, packed))  # numpy: no device consts
+    km = _kernel_mats(spec, packed)  # numpy: no device consts
+    # (mwi_cs, mhf_hi, mhf_lo, mwf_cs, mrep) — the separate mhi_a/mhi_b
+    # H-expand mats are replaced by the batched turn-free stack
+    mat_args = [km[0], km[3], km[4], km[5], _mrep_mat(spec, packed)]
     kernel = functools.partial(_tower_kernel, spec=spec, packed=packed,
                                p_planes=p)
 

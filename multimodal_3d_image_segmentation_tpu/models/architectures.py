@@ -33,8 +33,8 @@ from ..ops.convs import (ConcatConvNormAct, Conv, ConvNormAct,
 from ..ops.operators import FourierOperator, HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear, resize_nearest
-from ..ops.spectral import (_prec, flat_concat_mix, packed_high_channel_mix,
-                            packed_high_dcn_mix)
+from ..ops.spectral import (_isl, _prec, flat_concat_mix,
+                            packed_high_channel_mix, packed_high_dcn_mix)
 
 _FUSED_TOWER = None  # tri-state: None -> env M3SEG_TOWER_FUSED (default off)
 
@@ -344,8 +344,8 @@ class _TowerEntryCL(nn.Module):
         from .hnosegxs import _ConvParams
         kernel, bias = _ConvParams(self.features, self.in_features, 2,
                                    True, name="conv")()
-        return conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
-                           bias.astype(x_cf.dtype), apply_selu=True)
+        return conv_in_s2d(x_cf, kernel.astype(_isl(x_cf.dtype)),
+                           bias.astype(_isl(x_cf.dtype)), apply_selu=True)
 
 
 class _TowerConvIn(nn.Module):
@@ -363,8 +363,8 @@ class _TowerConvIn(nn.Module):
         from .hnosegxs import _ConvParams
         kernel, bias = _ConvParams(self.features, self.in_features, 2,
                                    True, name="conv")()
-        y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
-                        bias.astype(x_cf.dtype), channels_middle=True,
+        y = conv_in_s2d(x_cf, kernel.astype(_isl(x_cf.dtype)),
+                        bias.astype(_isl(x_cf.dtype)), channels_middle=True,
                         apply_selu=True)
         y = jnp.transpose(y[0], (0, 2, 3, 1))       # (D, F, W, H)
         d, f, w, h = y.shape
@@ -1044,8 +1044,8 @@ class _FlatConvNormAct(nn.Module):
                 xin = x if len(parts) > 1 else parts[0]
                 g_k, halo, keep = self.g, False, None
             out = conv3_flat(xin,
-                             kernel.astype(parts[0].dtype),
-                             bias.astype(parts[0].dtype), g_k,
+                             kernel.astype(_isl(parts[0].dtype)),
+                             bias.astype(_isl(parts[0].dtype)), g_k,
                              prologue=(None if pending is None
                                        else pending[:2]),
                              prologue_act=(None if pending is None
@@ -1214,7 +1214,8 @@ class _FlatConvTransposeNormAct(nn.Module):
         d_loc = g.d if shard is None else g.d // shard.n
         g_mid = flat_geom(d_loc, g2.h, g2.w)
         bias2 = jnp.concatenate([bias, bias])
-        y2 = conv3_flat(up, k2x.astype(x.dtype), bias2.astype(x.dtype),
+        y2 = conv3_flat(up, k2x.astype(_isl(x.dtype)),
+                        bias2.astype(_isl(x.dtype)),
                         g_mid, emit_stats=not snn,
                         halo=shard is not None,
                         halo_keep=None if shard is None else shard.keep())
@@ -1332,8 +1333,8 @@ class _VNetConvIn(nn.Module):
             kernel = jnp.transpose(kernel, kperm)
         if self.emit_flat:
             from ..ops.flatvol import flat_geom
-            y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
-                            bias.astype(x_cf.dtype), channels_middle=True,
+            y = conv_in_s2d(x_cf, kernel.astype(_isl(x_cf.dtype)),
+                            bias.astype(_isl(x_cf.dtype)), channels_middle=True,
                             apply_selu=False)
             y = jnp.transpose(y[0], (0, 2, 1, 3))      # (D2, F, H2, W2)
             g = flat_geom(y.shape[0], y.shape[2], y.shape[3])
@@ -1348,8 +1349,8 @@ class _VNetConvIn(nn.Module):
                 if act is not None:
                     y = act(y)
             return y, g
-        y = conv_in_s2d(x_cf, kernel.astype(x_cf.dtype),
-                        bias.astype(x_cf.dtype), apply_selu=snn)
+        y = conv_in_s2d(x_cf, kernel.astype(_isl(x_cf.dtype)),
+                        bias.astype(_isl(x_cf.dtype)), apply_selu=snn)
         if not self.use_snn:
             y = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(y)
         if not snn:

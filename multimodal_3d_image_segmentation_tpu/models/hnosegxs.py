@@ -34,7 +34,7 @@ from ..ops.flatvol import FlatGeom, flat_geom, from_flat, to_flat
 from ..ops.operators import HartleyOperator
 from ..ops.padcrop import spatial_padcrop
 from ..ops.resize import resize_linear
-from ..ops.spectral import (clip_modes, dht_crop, dht_crop_flat,
+from ..ops.spectral import (_isl, clip_modes, dht_crop, dht_crop_flat,
                             dht_pad_inverse, dht_pad_inverse_flat,
                             flat_concat_mix, normalize_modes)
 
@@ -219,7 +219,10 @@ class HNOXSBlock(nn.Module):
                             self.snn_init, name=f"conv_blocks_{i}")()
                    for i in range(self.num_convs)]
         y = fused_freq_chain(y, weights)
-        x = jax.nn.selu(dht_pad_inverse_flat(y, g))
+        # 'mixed' mode: the freq-resident chain rides fp32 spectra; the
+        # volume-scale inverse output drops back to the activation dtype
+        # (cast fuses into the last einsum's epilogue)
+        x = jax.nn.selu(dht_pad_inverse_flat(y, g)).astype(tmp.dtype)
         if self.use_block_concat:
             x = _FlatConcatConv(self.out_channels, 2 * self.out_channels,
                                 self.snn_init, name="conv_concat")((x, tmp))
@@ -264,8 +267,9 @@ class HNOXSBlock(nn.Module):
                     activation=self.activation,
                     use_conv_branch=self.use_conv_branch,
                     snn_init=self.snn_init, name=f"conv_blocks_{i}")(y)
-        # PadInverse: one inverse DHT back to the block grid.
-        x = dht_pad_inverse(y, sizes)
+        # PadInverse: one inverse DHT back to the block grid ('mixed'
+        # mode: back to the activation dtype, spectra stayed fp32).
+        x = dht_pad_inverse(y, sizes).astype(tmp.dtype)
 
         if not is_selu(self.activation):
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5,
@@ -341,8 +345,8 @@ class HNOSegXS(nn.Module):
         if self.use_resize:
             kernel, bias = _ConvInScope(f, x.shape[1], True,
                                         name="conv_in")()
-            y = conv_in_s2d(x, kernel.astype(x.dtype),
-                            bias.astype(x.dtype), channels_middle=True)
+            y = conv_in_s2d(x, kernel.astype(_isl(x.dtype)),
+                            bias.astype(_isl(x.dtype)), channels_middle=True)
             y = jnp.transpose(y[0], (0, 2, 1, 3))     # (D2, F, H2, W2)
             g = flat_geom(*[y.shape[0], y.shape[2], y.shape[3]])
             y = jnp.pad(y, ((1, 1), (0, 0), (1, 1), (1, 1)))
@@ -427,8 +431,8 @@ class HNOSegXS(nn.Module):
                                         snn, name="conv_in")()
             # Mixed precision: activations in compute_dtype (params fp32)
             x = x.astype(self.compute_dtype)
-            x = conv_in_s2d(x, kernel.astype(x.dtype),
-                            bias.astype(x.dtype))
+            x = conv_in_s2d(x, kernel.astype(_isl(x.dtype)),
+                            bias.astype(_isl(x.dtype)))
             conv_in_done = True
         else:
             if self.channel_first_io:

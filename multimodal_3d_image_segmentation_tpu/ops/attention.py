@@ -152,8 +152,11 @@ class HartleyMultiHeadAttention(nn.Module):
                                          (self.num_heads, value_dim))
             biases["out"] = self.param("bias_out", b_init, (value_dim,))
 
+        # 'mixed' mode: spectra ride fp32 (dht_crop promotes), weights cast
+        # to the island dtype, only the volume-scale inverse drops back
+        from .spectral import _isl
         prec = (self.precision if self.precision is not None
-                else _prec(q_in.dtype))
+                else _prec(_isl(q_in.dtype)))
 
         if self.use_transform:
             sizes = q_in.shape[1:-1]
@@ -215,5 +218,5 @@ class HartleyMultiHeadAttention(nn.Module):
             out = out + biases["out"].astype(out.dtype)
 
         if self.use_transform:
-            out = dht_pad_inverse(out, sizes)
+            out = dht_pad_inverse(out, sizes).astype(q_in.dtype)
         return out

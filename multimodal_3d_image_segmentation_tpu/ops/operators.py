@@ -114,7 +114,10 @@ class HartleyOperator(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         nd = x.ndim - 2
         weight, bias = self._params(nd)
-        weight = weight.astype(x.dtype)
+        # 'mixed' mode: the weight stays fp32 and the whole op runs as an
+        # fp32 island (the spectra are mode-scale tensors); only the
+        # volume-scale inverse output is cast back to the input dtype.
+        weight = weight.astype(spectral._isl(x.dtype))
         axes = spatial_axes(x.ndim)
 
         if self.use_transform:
@@ -133,7 +136,7 @@ class HartleyOperator(nn.Module):
         if self.weights_type == "shared":
             xp = dht_crop(x, modes)
             y = jnp.einsum(_EINSUM_SHARED, xp, weight,
-                           precision=self._precision(x.dtype))
+                           precision=self._precision(xp.dtype))
         else:
             # Extended kept set (2m+1 per axis) makes the true frequency
             # reversal k -> N-k an exact permutation (parity with
@@ -144,7 +147,7 @@ class HartleyOperator(nn.Module):
             w_axes = tuple(range(2, 2 + nd))
             w_rev = packed_reverse(weight, w_axes)
             y = _hartley_conv(_einsum_individual(nd), weight, w_rev, xp, xr,
-                              self._precision(x.dtype))
+                              self._precision(xp.dtype))
 
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -157,18 +160,18 @@ class HartleyOperator(nn.Module):
             out = dht_pad_inverse(y, sizes)
             origin = (slice(None),) + (0,) * nd + (slice(None),)
             out = out.at[origin].add(c * float(np.prod(sizes)))
-            return out
+            return out.astype(x.dtype)
 
         # This activation is crucial: nonlinearity in the frequency domain
         # (reference ``nets/hartley_operator.py:265-267``). selu(0) == 0, so
         # the implicit zero padding is untouched.
         y = jax.nn.selu(y)
-        return dht_pad_inverse(y, sizes)
+        return dht_pad_inverse(y, sizes).astype(x.dtype)
 
     def _call_notransform(self, x, weight, bias, nd, axes):
+        p = self._precision(spectral._isl(x.dtype))
         if self.weights_type == "shared":
-            y = jnp.einsum(_EINSUM_SHARED, x, weight,
-                           precision=self._precision(x.dtype))
+            y = jnp.einsum(_EINSUM_SHARED, x, weight, precision=p)
         else:
             # NOTE: reverse after cropping differs from the true reversal at
             # the highest negative frequency per axis — reproduced for
@@ -177,7 +180,7 @@ class HartleyOperator(nn.Module):
             w_axes = tuple(range(2, 2 + nd))
             w_rev = packed_reverse(weight, w_axes)
             y = _hartley_conv(_einsum_individual(nd), weight, w_rev, x, x_rev,
-                              self._precision(x.dtype))
+                              p)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -229,7 +232,7 @@ class FourierOperator(nn.Module):
         else:
             eq = _einsum_individual(nd)
         p = (self.precision if self.precision is not None
-             else _prec(re.dtype))
+             else _prec(jnp.result_type(re, wr)))
         yre = (jnp.einsum(eq, re, wr, precision=p)
                - jnp.einsum(eq, im, wi, precision=p))
         yim = (jnp.einsum(eq, re, wi, precision=p)
@@ -246,8 +249,8 @@ class FourierOperator(nn.Module):
 
         if not self.use_transform:
             re, im = x
-            wr = wr.astype(re.dtype)
-            wi = wi.astype(re.dtype)
+            wr = wr.astype(spectral._isl(re.dtype))
+            wi = wi.astype(spectral._isl(re.dtype))
             yre, yim = self._mix(re, im, wr, wi, nd)
             if bias is not None:
                 # torch complex + real adds to the real part only
@@ -262,11 +265,11 @@ class FourierOperator(nn.Module):
             assert all(s >= 2 * m for s, m in zip(sizes, modes)), (
                 f"spatial sizes {sizes} must be >= 2 * modes {modes}")
 
-        wr = wr.astype(x.dtype)
-        wi = wi.astype(x.dtype)
+        wr = wr.astype(spectral._isl(x.dtype))
+        wi = wi.astype(spectral._isl(x.dtype))
         re, im = rfft_crop(x, modes)
         yre, yim = self._mix(re, im, wr, wi, nd)
-        out = rfft_pad_inverse(yre, yim, sizes)
+        out = rfft_pad_inverse(yre, yim, sizes).astype(x.dtype)
 
         if bias is not None:
             # Reference adds the (real) bias to the spectrum after padding

@@ -101,6 +101,34 @@ def _prec(dtype):
     return PRECISION
 
 
+# 'mixed' serving mode: activations stay bfloat16 (storage + elementwise
+# traffic at bf16 rates) but every WEIGHT/TRANSFORM-MATRIX contraction runs
+# as an fp32 island — matrices and learned weights kept fp32, bf16 operands
+# promoted into the dot (the convert fuses into the MXU operand read),
+# PRECISION-class accumulation, outputs cast back to bf16 at volume scale.
+# The only bf16 rounding left is activation *storage* between ops; the
+# systematic matrix/weight rounding that plain-bf16 serving pays on every
+# cancellation-heavy spectral contraction is eliminated. Quality-gated by
+# the trained-network Dice protocol (tools/bench_precision.py).
+BF16_EXACT = False
+
+
+def set_bf16_exact(enabled: bool) -> None:
+    """Enable/disable the 'mixed' (bf16 storage, fp32-exact weights)
+    serving mode. Like ``set_fp32_transform_precision``, must be set
+    before the first trace; cached executables do not retrace."""
+    global BF16_EXACT
+    BF16_EXACT = bool(enabled)
+
+
+def _isl(dtype):
+    """Island dtype: the dtype weight/matrix contractions run at for
+    ``dtype`` activations (fp32 when the 'mixed' mode is active)."""
+    if BF16_EXACT and dtype == jnp.bfloat16:
+        return jnp.float32
+    return dtype
+
+
 def spatial_axes(ndim: int) -> Tuple[int, ...]:
     """Spatial axes for channels-last layout (B, *spatial, C)."""
     return tuple(range(1, ndim - 1))
@@ -202,7 +230,10 @@ def _cas_chain(x, stages):
                 out = subs.replace(a, "K").replace(q, "")
                 eq = f"{subs},{a}{q}K->{out}"
                 has_comp = False
-        x = jnp.einsum(eq, x, mat, precision=_prec(x.dtype))
+        # matrices may ride a wider dtype than x ('mixed' mode: fp32
+        # matrices on bf16 activations) — precision follows the promoted
+        # dtype so the island actually accumulates at PRECISION
+        x = jnp.einsum(eq, x, mat, precision=_prec(jnp.result_type(x, mat)))
     return x
 
 
@@ -278,7 +309,7 @@ def dht_crop(x: jax.Array, modes: Sequence[int],
     """
     if axes is None:
         axes = spatial_axes(x.ndim)
-    dt = x.dtype
+    dt = _isl(x.dtype)
     mdict = dict(zip(axes, modes))
     # 'extended' may be per-axis; an axis with n == 2m cannot (and need
     # not) be extended: its packed spectrum IS the full spectrum, so the
@@ -308,7 +339,7 @@ def dht_pad_inverse(y: jax.Array, sizes: Sequence[int],
     """
     if axes is None:
         axes = spatial_axes(y.ndim)
-    dt = y.dtype
+    dt = _isl(y.dtype)
     modes = {ax: y.shape[ax] // 2 for ax in axes}
     ndict = dict(zip(axes, sizes))
     for ax, n in zip(axes, sizes):
@@ -338,7 +369,7 @@ def rfft_crop(x: jax.Array, modes: Sequence[int],
     """
     if axes is None:
         axes = spatial_axes(x.ndim)
-    dt = x.dtype
+    dt = _isl(x.dtype)
     last = axes[-1]
     pairs = []
     for ax, m in zip(axes, modes):
@@ -372,7 +403,7 @@ def rfft_pad_inverse(re: jax.Array, im: jax.Array, sizes: Sequence[int],
     """
     if axes is None:
         axes = spatial_axes(re.ndim)
-    dt = re.dtype
+    dt = _isl(re.dtype)
     last = axes[-1]
 
     x = jnp.stack([re, im], axis=1)  # comp axis at position 1
@@ -501,7 +532,7 @@ def dht_crop_flat(x_flat: jax.Array, g, modes: Sequence[int]) -> jax.Array:
     Returns:
         (1, 2m_d, 2m_h, 2m_w, C) — identical packing to ``dht_crop``.
     """
-    dt = x_flat.dtype
+    dt = _isl(x_flat.dtype)
     md, mh, mw = modes
     c1, s1 = _dft_mats_np(g.d, md, True, False, -1)
     m1 = np.zeros((g.dp, 2 * md, 2), np.float64)
@@ -532,7 +563,7 @@ def dht_pad_inverse_flat(packed: jax.Array, g) -> jax.Array:
     Returns:
         (Dp, C, Npl) with CLEAN zero borders and zero D pad planes.
     """
-    dt = packed.dtype
+    dt = _isl(packed.dtype)
     kd, kh, kw = packed.shape[1:4]
     md, mh, mw = kd // 2, kh // 2, kw // 2
     x = packed[0]                                   # (Kd, Kh, Kw, C)
@@ -588,8 +619,12 @@ def packed_high_channel_mix(sub: str, x: jax.Array, mat: jax.Array,
             or PRECISION != jax.lax.Precision.HIGH \
             or 3 * x.shape[ax] > 128 or jax.default_backend() != "tpu":
         # (CPU's dot thunk has no bf16xbf16->f32; HIGH there is fine.)
-        return jnp.einsum(sub, x, mat.astype(x.dtype),
-                          precision=_prec(x.dtype))
+        # 'mixed' mode: weight stays fp32, bf16 operand promotes into the
+        # dot, result cast back to the activation dtype (fuses into the
+        # einsum epilogue) — weight rounding eliminated at bf16 traffic.
+        dt = _isl(x.dtype)
+        return jnp.einsum(sub, x, mat.astype(dt),
+                          precision=_prec(dt)).astype(x.dtype)
     xhi = x.astype(jnp.bfloat16)
     xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
     xp = jnp.concatenate([xhi, xhi, xlo], axis=ax)

@@ -64,6 +64,12 @@ def _build_model(config_args, input_data, image_size_getter):
     if tp is not None:
         from ..ops.spectral import set_fp32_transform_precision
         set_fp32_transform_precision(tp)
+    # 'mixed' serving: bf16 activations + fp32 weight/matrix islands
+    # (ops/spectral.set_bf16_exact) — bf16 traffic, fp32-exact weights.
+    if model_args.get("compute_dtype") == "mixed":
+        model_args["compute_dtype"] = "bfloat16"
+        from ..ops.spectral import set_bf16_exact
+        set_bf16_exact(True)
     model_name = model_args.pop("model_name")
     if isinstance(model_args.get("num_modes"), list):
         model_args["num_modes"] = tuple(model_args["num_modes"])

@@ -54,12 +54,16 @@ def _builders():
 def _rows():
     b = _builders()
     bf16 = dict(use_pallas=True, compute_dtype="bfloat16")
+    # 'mixed': bf16 activations + fp32 weight/matrix islands
+    # (ops/spectral.set_bf16_exact via the _mixed pseudo-kwarg)
+    mixed = dict(use_pallas=True, compute_dtype="bfloat16", _mixed=True)
     rows = [
         ("HNOSeg-XS", "fp32_high_pallas", b["HNOSeg-XS"],
          dict(use_pallas=True)),
         ("HNOSeg-XS", "fp32_highest_pallas", b["HNOSeg-XS"],
          dict(use_pallas=True), "highest"),
         ("HNOSeg-XS", "bf16_pallas", b["HNOSeg-XS"], bf16),
+        ("HNOSeg-XS", "mixed_pallas", b["HNOSeg-XS"], mixed),
     ]
     for fam in ("FNOSeg", "HNOSeg"):
         # the tower families serve the XLA module tower at every dtype
@@ -69,6 +73,7 @@ def _rows():
         rows.append((fam, "fp32_high_module_pallas_entry", b[fam],
                      dict(use_pallas=True)))
         rows.append((fam, "bf16_module_pallas_entry", b[fam], bf16))
+        rows.append((fam, "mixed_module_pallas_entry", b[fam], mixed))
     rows += [
         ("HartleyMHA", "fp32_high_fused_pallas", b["HartleyMHA"],
          dict(use_pallas=True)),
@@ -78,9 +83,12 @@ def _rows():
         ("HartleyMHA", "bf16_module_pallas_entry", b["HartleyMHA"], bf16),
         ("HartleyMHA", "bf16_module", b["HartleyMHA"],
          dict(compute_dtype="bfloat16")),
+        ("HartleyMHA", "mixed_module_pallas_entry", b["HartleyMHA"],
+         mixed),
         ("V-Net-DS", "fp32_high_flat_pallas", b["V-Net-DS"],
          dict(use_pallas=True)),
         ("V-Net-DS", "bf16_flat_pallas", b["V-Net-DS"], bf16),
+        ("V-Net-DS", "mixed_flat_pallas", b["V-Net-DS"], mixed),
     ]
     return rows
 
@@ -111,6 +119,8 @@ def main(artifact=False, family=None):
         if family is not None and name != family:
             continue
         spectral.set_fp32_transform_precision(prec[0] if prec else "high")
+        kw = dict(kw)
+        spectral.set_bf16_exact(kw.pop("_mixed", False))
         try:
             model = build(**kw)
             params = model.init(jax.random.PRNGKey(0),

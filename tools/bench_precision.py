@@ -137,6 +137,10 @@ def evaluate(params, mode, family="hnoseg_xs"):
     """mode: ('highest'|'high', use_pallas, compute_dtype)"""
     prec, use_pallas, dtype = mode
     spectral.set_fp32_transform_precision(prec)
+    # 'mixed': bf16 activations + fp32 weight/matrix islands
+    spectral.set_bf16_exact(dtype == "mixed")
+    if dtype == "mixed":
+        dtype = "bfloat16"
     model = MODEL_FAMILIES[family](use_pallas=use_pallas,
                                    compute_dtype=dtype)
 
@@ -171,6 +175,10 @@ def main():
         # 1.86 ms/block at 'high') — quality must clear the same bar
         "fp32_default_pallas": ("default", True, "float32"),
         "bf16_pallas": ("high", True, "bfloat16"),
+        # bf16 activation storage + fp32 weight/matrix islands
+        # (ops/spectral.set_bf16_exact): the round-5 candidate for
+        # pulling bf16-class speed inside the 0.1% bar
+        "mixed_pallas": ("high", True, "mixed"),
     }
     results = {"train_shape": list(TRAIN_SHAPE),
                "eval_shape": list(EVAL_SHAPE),
