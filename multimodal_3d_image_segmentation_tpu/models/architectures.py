@@ -913,6 +913,19 @@ def _flat_crop(x, g_src, g_dst, shard=None):
     planes = jnp.pad(planes, ((1, 1), (0, 0), (0, 0)))
     if (g_src.h, g_src.w) == (g_dst.h, g_dst.w) and g_src.npl == g_dst.npl:
         return planes
+    if (oh == 0 and ow == 0 and g_src.wp == g_dst.wp
+            and g_src.npl == g_dst.npl):
+        # Same plane stride, no (H, W) offset — the V-Net's 2x-up
+        # off-by-one crops ((2k, 2k, w) -> (2k-1, 2k-1, w)): every
+        # surviving position sits at the SAME lane in both layouts, so
+        # the crop is just the destination interior mask (zeroes the
+        # cropped H rows and re-cleans borders) on the depth-sliced
+        # planes. One fusable elementwise pass instead of the dense
+        # (Npl, Npl) selection matmul, which is MXU-bound at L0 scale
+        # (9.7 ms standalone vs ~0.3; round-5 ablation,
+        # tools/ablate_vnet_flat.py). Values identical to the einsum.
+        mask = jnp.asarray(g_dst.interior_mask(), x.dtype)
+        return planes * mask[None]
     sel = _lane_selection(g_src, g_dst, ("crop", oh, ow), x.dtype)
     return jnp.einsum("dcn,nm->dcm", planes, sel, precision=_prec(x.dtype))
 
