@@ -75,11 +75,20 @@ def _apply_output_activation(x, output_activation, axis=-1):
 
 
 def _channel_first_tail(x, image_size, use_resize, in_dtype,
-                        output_activation):
+                        output_activation, pallas_ok=False):
     """Shared output tail: transpose channel-first while small, upsample,
     pad/crop, softmax over axis 1 (see hnosegxs.py for rationale —
-    few-channel channels-last gathers pay heavy lane padding on TPU)."""
+    few-channel channels-last gathers pay heavy lane padding on TPU).
+
+    ``pallas_ok``: allow the fused resize+softmax tail kernel
+    (``kernels/tail_resize.py``) — one HBM pass instead of ~5; the
+    resize-to-image-size guarantee makes the pad/crop a no-op there."""
     x = _to_channel_first(x)
+    if pallas_ok and use_resize and output_activation == "softmax":
+        from ..kernels.tail_resize import maybe_fused_tail
+        y = maybe_fused_tail(x, image_size, in_dtype)
+        if y is not None:
+            return y
     if use_resize:
         x = resize_linear(x, image_size, channel_first=True)
     x = spatial_padcrop(x, image_size, channel_first=True)
@@ -225,6 +234,11 @@ class _TransSegBase(nn.Module):
     def _fused_exit(self, x_flat, sizes, image_size, in_dtype):
         from ..kernels import tower_block as tb
         x = tb.from_tower_flat(x_flat, sizes, self.out_channels)
+        if self.use_resize and self.output_activation == "softmax":
+            from ..kernels.tail_resize import maybe_fused_tail
+            y = maybe_fused_tail(x, image_size, in_dtype)
+            if y is not None:
+                return y
         if self.use_resize:
             x = resize_linear(x, image_size, channel_first=True)
         x = spatial_padcrop(x, image_size, channel_first=True)
@@ -327,7 +341,9 @@ class _TransSegBase(nn.Module):
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
         return _channel_first_tail(x, image_size, self.use_resize, in_dtype,
-                                   self.output_activation)
+                                   self.output_activation,
+                                   pallas_ok=getattr(self, "use_pallas",
+                                                     False))
 
 
 class _TowerEntryCL(nn.Module):
@@ -1620,14 +1636,22 @@ class VNetDS(nn.Module):
             x = lvl[0].gather_planes(x)
 
         x = from_flat(x, g0)[None]                 # (1, out, D2, H2, W2)
-        if self.use_resize:
-            x = resize_linear(x, image_size, channel_first=True)
-        x = spatial_padcrop(x, image_size, channel_first=True)
+        done = None
+        if self.use_resize and self.output_activation == "softmax":
+            from ..kernels.tail_resize import maybe_fused_tail
+            done = maybe_fused_tail(x, image_size, in_dtype)
+        if done is not None:
+            x = done
+        else:
+            if self.use_resize:
+                x = resize_linear(x, image_size, channel_first=True)
+            x = spatial_padcrop(x, image_size, channel_first=True)
+            x = x.astype(in_dtype)
+            x = _apply_output_activation(x, self.output_activation, axis=1)
         if ctx is not None and ctx.dim:
             x = jnp.transpose(x, (0, 1) + tuple(2 + k
                                                 for k in ctx.sperm_inv))
-        x = x.astype(in_dtype)
-        return _apply_output_activation(x, self.output_activation, axis=1)
+        return x
 
     @nn.compact
     def __call__(self, x):
@@ -1735,7 +1759,8 @@ class VNetDS(nn.Module):
         x = Conv(self.out_channels, 1, use_bias=False, snn_init=snn,
                  name="conv_out")(x)
         x = _channel_first_tail(x, image_size, self.use_resize, in_dtype,
-                                self.output_activation)
+                                self.output_activation,
+                                pallas_ok=self.use_pallas)
         if not self.channel_first_io:
             x = _to_channels_last(x)
         return x

@@ -395,6 +395,11 @@ class HNOSegXS(nn.Module):
 
         # tail: tiny channel count -> unflatten + channel-first resize
         x = from_flat(y, g)[None]                     # (1, out, D2, H2, W2)
+        if self.use_resize and self.output_activation == "softmax":
+            from ..kernels.tail_resize import maybe_fused_tail
+            fused = maybe_fused_tail(x, image_size, in_dtype)
+            if fused is not None:
+                return fused
         if self.use_resize:
             x = resize_linear(x, image_size, channel_first=True)
         x = spatial_padcrop(x, image_size, channel_first=True)
@@ -502,17 +507,25 @@ class HNOSegXS(nn.Module):
         # channel-first output needs no final transpose.
         nd = x.ndim
         x = x.transpose((0, nd - 1) + tuple(range(1, nd - 1)))
-        if self.use_resize:
-            x = resize_linear(x, image_size, channel_first=True)
-        x = spatial_padcrop(x, image_size, channel_first=True)
-        x = x.astype(in_dtype)
-
-        if self.output_activation == "softmax":
-            x = jax.nn.softmax(x, axis=1)
+        fused = None
+        if (self.use_pallas and self.use_resize
+                and self.output_activation == "softmax"):
+            from ..kernels.tail_resize import maybe_fused_tail
+            fused = maybe_fused_tail(x, image_size, in_dtype)
+        if fused is not None:
+            x = fused
         else:
-            act = get_activation(self.output_activation)
-            if act is not None:
-                x = act(x)
+            if self.use_resize:
+                x = resize_linear(x, image_size, channel_first=True)
+            x = spatial_padcrop(x, image_size, channel_first=True)
+            x = x.astype(in_dtype)
+
+            if self.output_activation == "softmax":
+                x = jax.nn.softmax(x, axis=1)
+            else:
+                act = get_activation(self.output_activation)
+                if act is not None:
+                    x = act(x)
 
         if not self.channel_first_io:
             x = x.transpose((0,) + tuple(range(2, nd)) + (1,))
