@@ -114,6 +114,10 @@ def test_maybe_fused_tail_env_gating(monkeypatch):
                                      num_modes=(3, 4, 4), use_pallas=True),
     lambda: models.VNetDS(in_channels=2, out_channels=3, base_num_filters=4,
                           num_blocks=[1, 2], use_pallas=True),
+    lambda: models.HartleyMHASeg(in_channels=2, out_channels=3, filters=8,
+                                 num_transform_blocks=2, num_heads=2,
+                                 num_modes=(3, 4, 3), patch_size=2,
+                                 use_pallas=True),
 ])
 def test_model_tail_routing_equivalence(build, monkeypatch):
     """M3SEG_PALLAS_TAIL=1 (fused kernel, interpret off-TPU) produces the
